@@ -1,0 +1,99 @@
+"""In-repo image codec: 'raw' (exact) and 'rle' (lossy, PSNR >= ~46 dB).
+
+The container has no PIL/libjpeg, so the engine ships its own deterministic
+codec. This plays the role of the reference's zlib blob decode
+(readosm.c:1779-1809: compressed payload → usable buffer): payloads stay
+compressed at rest and are decoded only inside the vectorized UDF stage
+(the reference cites decompression as ~33% of read cost, readosm.c:1783-1790,
+which is why decode is deferred to the last stage that needs pixels).
+
+Frozen formats (grayscale uint8, row-major, h*w pixels):
+  raw: bytes == pixels.tobytes()
+  rle: pixels quantized to q = (p & 0xFC) | 0x02 (bucket center, max err 2,
+       MSE <= 1.5 → PSNR >= 46.3 dB), then run-length encoded as
+       (count:uint8 in 1..255, value:uint8) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FORMATS = ("raw", "rle")
+
+
+def quantize_rle(pixels: np.ndarray) -> np.ndarray:
+    return (pixels & np.uint8(0xFC)) | np.uint8(0x02)
+
+
+def encode_raw(pixels: np.ndarray) -> bytes:
+    return np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    px = np.frombuffer(data, dtype=np.uint8)
+    if px.size != w * h:
+        raise ValueError(f"raw payload size {px.size} != w*h {w * h}")
+    return px
+
+
+def encode_rle(pixels: np.ndarray) -> bytes:
+    q = quantize_rle(np.ascontiguousarray(pixels, dtype=np.uint8).ravel())
+    # run boundaries
+    change = np.flatnonzero(np.diff(q)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [q.size]))
+    out_counts, out_vals = [], []
+    for s, e in zip(starts, ends):
+        run = e - s
+        v = q[s]
+        while run > 255:
+            out_counts.append(255)
+            out_vals.append(v)
+            run -= 255
+        out_counts.append(run)
+        out_vals.append(v)
+    arr = np.empty(2 * len(out_counts), dtype=np.uint8)
+    arr[0::2] = out_counts
+    arr[1::2] = out_vals
+    return arr.tobytes()
+
+
+def decode_rle(data: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size % 2 != 0:
+        raise ValueError("rle payload has odd length")
+    counts = arr[0::2].astype(np.int64)
+    vals = arr[1::2]
+    px = np.repeat(vals, counts)
+    if px.size != w * h:
+        raise ValueError(f"rle decoded size {px.size} != w*h {w * h}")
+    return px
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(pixels)
+    if fmt == "rle":
+        return encode_rle(pixels)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """bytes → flat uint8 pixel array of length w*h."""
+    if fmt == "raw":
+        return decode_raw(data, w, h)
+    if fmt == "rle":
+        return decode_rle(data, w, h)
+    raise NotImplementedError(
+        f"fmt {fmt!r}: external codecs (jpeg/png/...) are stubbed — no image "
+        "libraries in this environment; plumbing (schema/batching) is real."
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(d * d))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

@@ -1,0 +1,90 @@
+"""Block decode — the reference's streaming PBF decoder, Spark-first.
+
+Inverts sources/blocks.py with *pure DataFrame ops* (no UDF):
+
+  D5 delta decode      → window cumsum per block (sum over rowsBetween)
+  D2 zigzag decode     → (z >> 1) XOR -(z & 1)      (readosm.c:309-343)
+  D6 fixed-point scale → / 1e7                      (readosm.c:1206-1211)
+  D7 dictionary resolve→ F.transform + element_at on the per-block strtab
+                          (readosm.c:1296-1299; StringTable index 0 = "")
+  D8 sentinel split    → running count of delimiters (osmformat.proto:207-229)
+  D9/D10 zip + posexplode → arrays_zip / posexplode  (readosm.c:1449-1460)
+
+Each block is independently decodable (osmformat.proto blocks are
+self-contained) — at cluster scale blocks map 1:1 onto partitions, and the
+per-block window cumsum shuffles only on block_id (bounded state: block size
+≤ 8000 entities in the reference, 1000 here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources.blocks import SCALE
+
+
+def zigzag_decode_col(z):
+    return F.shiftright(z, 1).bitwiseXOR(-(z.bitwiseAND(F.lit(1))))
+
+
+def decode_nodes(blocks: DataFrame) -> DataFrame:
+    """blocks → (block_id, pos, id, image_id, lat, lon)."""
+    resolved = blocks.withColumn(
+        "img", F.transform(F.col("image_sid"), lambda s: F.element_at(F.col("strtab"), s + 1))
+    )
+    e = resolved.select(
+        "block_id",
+        F.posexplode(F.arrays_zip("id_delta", "lat_dz", "lon_dz", "img")).alias("pos", "e"),
+    )
+    w = Window.partitionBy("block_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "block_id",
+        "pos",
+        F.sum(F.col("e.id_delta")).over(w).alias("id"),
+        F.col("e.img").alias("image_id"),
+        (F.sum(zigzag_decode_col(F.col("e.lat_dz"))).over(w) / SCALE).alias("lat"),
+        (F.sum(zigzag_decode_col(F.col("e.lon_dz"))).over(w) / SCALE).alias("lon"),
+    )
+
+
+def decode_tags(blocks: DataFrame) -> DataFrame:
+    """blocks → (block_id, ent, k, v) — 0-delimited keys_vals stream split.
+
+    ent is the entity ordinal within the block (join key to decode_nodes.pos).
+    Sentinel index 0 resolves to the reserved "" string; the split is a running
+    count of sentinels *before* each element (pure window arithmetic).
+    """
+    resolved = blocks.withColumn(
+        "kv", F.transform(F.col("keys_vals"), lambda s: F.element_at(F.col("strtab"), s + 1))
+    ).select("block_id", F.posexplode("kv").alias("pos", "s"))
+    w_prev = Window.partitionBy("block_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ent = F.coalesce(
+        F.sum(F.when(F.col("s") == "", 1).otherwise(0)).over(w_prev), F.lit(0)
+    )
+    elems = resolved.withColumn("ent", ent).filter(F.col("s") != "")
+    w_ent = Window.partitionBy("block_id", "ent").orderBy("pos")
+    paired = elems.withColumn("rn", F.row_number().over(w_ent)).withColumn(
+        "pair", ((F.col("rn") - 1) / 2).cast("bigint")
+    )
+    return (
+        paired.groupBy("block_id", "ent", "pair")
+        .agg(
+            F.max(F.when(F.col("rn") % 2 == 1, F.col("s"))).alias("k"),
+            F.max(F.when(F.col("rn") % 2 == 0, F.col("s"))).alias("v"),
+        )
+        .drop("pair")
+    )
+
+
+def decode_entities(blocks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (nodes, tags) where tags carry the resolved image_id (EAV table —
+    the analogue of pbf2sqlite's `tag(nod_id, k, v)`, pbf2sqlite.c:460-468)."""
+    nodes = decode_nodes(blocks)
+    tags = decode_tags(blocks).join(
+        nodes.select("block_id", F.col("pos").alias("ent"), "image_id"),
+        ["block_id", "ent"],
+    )
+    return nodes, tags.select("image_id", "k", "v")

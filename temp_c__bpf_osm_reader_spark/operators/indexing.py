@@ -1,0 +1,116 @@
+"""Geolocation + hierarchical cell indexing + deterministic tile assignment.
+
+The load-side of the engine: the analogue of the reference's decode → store →
+index pipeline (readosm.c:1107-1309 decode; pbf2sqlite.c:585-597 post-load
+index build). 'Indexing' in Spark terms = computing the partition/cluster key
+columns; the physical layout step is `repartition(cell).sortWithinPartitions`.
+
+Cell math is plain floor/bit arithmetic in pyspark.sql.functions — JVM-side,
+whole-stage-codegen'd, and replicable in ANSI SQL by the DuckDB oracle
+(`oracle_cell_expr` emits the exact same formula as SQL text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import RES_SHIFT, I_SHIFT
+from ..functions.udfs import latlon_udf
+
+
+def geolocate(df: DataFrame) -> DataFrame:
+    """Add (lat, lon) pseudo-coordinates from (phash, image_id).
+
+    Narrow (no shuffle); one Arrow round-trip per batch.
+    """
+    ll = latlon_udf(F.col("phash"), F.col("image_id"))
+    return df.withColumn("_ll", ll).withColumn("lat", F.col("_ll.lat")).withColumn(
+        "lon", F.col("_ll.lon")
+    ).drop("_ll")
+
+
+def grid_cell_col(lat: Column, lon: Column, res: int) -> Column:
+    """int64 cell id — same frozen spec as functions/geo.py:grid_cell."""
+    ny, nx = 1 << res, 1 << (res + 1)
+    i = F.least(F.greatest(F.floor((lat + 90.0) / 180.0 * ny), F.lit(0)), F.lit(ny - 1))
+    j = F.pmod(F.floor((lon + 180.0) / 360.0 * nx), F.lit(nx))
+    return (
+        F.lit(res).cast("bigint") * F.lit(1 << RES_SHIFT).cast("bigint")
+        + i.cast("bigint") * F.lit(1 << I_SHIFT).cast("bigint")
+        + j.cast("bigint")
+    )
+
+
+def z_cell_col(lat: Column, lon: Column, level: int = 12) -> Column:
+    """Morton-interleaved S2-analogue cell id (bit ops, JVM-side)."""
+    n = 1 << level
+    i = F.least(F.greatest(F.floor((lat + 90.0) / 180.0 * n), F.lit(0)), F.lit(n - 1)).cast("bigint")
+    j = F.pmod(F.floor((lon + 180.0) / 360.0 * n), F.lit(n)).cast("bigint")
+    out = F.lit(level).cast("bigint") * F.lit(1 << 48).cast("bigint")
+    for b in range(level):
+        out = out + F.shiftleft(F.shiftright(i, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        out = out + F.shiftleft(F.shiftright(j, b).bitwiseAND(F.lit(1)), 2 * b)
+    return out
+
+
+def oracle_cell_expr(lat: str, lon: str, res: int) -> str:
+    """The grid-cell formula as ANSI SQL (DuckDB oracle twin of grid_cell_col)."""
+    ny, nx = 1 << res, 1 << (res + 1)
+    i = f"least(greatest(floor(({lat} + 90.0) / 180.0 * {ny}), 0), {ny - 1})"
+    j = f"((CAST(floor(({lon} + 180.0) / 360.0 * {nx}) AS BIGINT) % {nx} + {nx}) % {nx})"
+    return (
+        f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + CAST({i} AS BIGINT) * {1 << I_SHIFT} + {j})"
+    )
+
+
+def oracle_zcell_expr(lat: str, lon: str, level: int = 12) -> str:
+    """Morton z-cell as ANSI SQL (sum of per-bit terms)."""
+    n = 1 << level
+    i = f"CAST(least(greatest(floor(({lat} + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    j = f"CAST(((CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT) % {n} + {n}) % {n}) AS BIGINT)"
+    terms = [f"CAST({level} AS BIGINT) * {1 << 48}"]
+    for b in range(level):
+        terms.append(f"(({i} // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({j} // {1 << b}) % 2) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def with_cells(df: DataFrame, resolutions=(7, 8, 9), zlevel: int = 12) -> DataFrame:
+    """Add cell_r{r} for each grid resolution + zcell_l{L} (S2-analogue)."""
+    for r in resolutions:
+        df = df.withColumn(f"cell_r{r}", grid_cell_col(F.col("lat"), F.col("lon"), r))
+    if zlevel:
+        df = df.withColumn(f"zcell_l{zlevel}", z_cell_col(F.col("lat"), F.col("lon"), zlevel))
+    return df
+
+
+def tile_assignment(points: DataFrame, res: int = 7) -> DataFrame:
+    """Deterministic (cell_id, image_id, order_) table — byte-for-byte stable
+    across runs and parallelism levels (north-rule exactness criterion).
+
+    order_ is dense within a cell, ordered by image_id — the analogue of
+    nod_way(way_id, nod_id, order_) ordered membership (pbf2sqlite.c:422-428).
+    One shuffle on cell_id; at cluster scale this is the natural layout
+    shuffle (write partitioned by cell prefix afterwards).
+    """
+    cell = F.col(f"cell_r{res}") if f"cell_r{res}" in points.columns else grid_cell_col(
+        F.col("lat"), F.col("lon"), res
+    )
+    w = Window.partitionBy("cell_id").orderBy("image_id")
+    return (
+        points.select(cell.alias("cell_id"), "image_id")
+        .withColumn("order_", F.row_number().over(w))
+    )
+
+
+def write_indexed(points: DataFrame, path: str, res: int = 7, buckets: int = 64) -> None:
+    """Physical 'index build': cluster by cell, sort within partitions —
+    the Spark replacement for the reference's post-load B-tree indexes
+    (pbf2sqlite.c:585-597). Readers get partition pruning + clustered scans."""
+    (
+        points.repartition(buckets, F.col(f"cell_r{res}"))
+        .sortWithinPartitions(f"cell_r{res}", "image_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

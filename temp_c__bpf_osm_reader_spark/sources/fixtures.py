@@ -1,0 +1,228 @@
+"""On-disk deterministic fixtures + goldens (generate-if-missing, seed-frozen).
+
+Golden outputs are computed here through a *separate, brute-force numpy path*
+(no Spark, no cell prefilter) — the cross-implementation oracle, replacing the
+reference's XML-vs-PBF dual-decode equivalence (SURVEY §5). The driver's
+DuckDB oracle reads these parquet files by absolute path.
+
+Scale ladder mirrors TESTDATA.md: sf0.001 → 1,060 images (the reference's
+golden corpus is 1,060 nodes / 112 ways / 13 relations), sf0.01 → 10,600,
+sf0.1 → 106,000.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import geo
+from ..functions.hashing import splitmix64
+from . import blocks as blocks_mod
+from .images import generate_images
+from .polygons import generate_polygons
+
+def _default_data_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_DATA_DIR")
+    if env:
+        return env
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if ".zip" in root:  # running from a spark-submit --py-files archive
+        root = os.getcwd()
+    return os.path.join(root, "data")
+
+
+DATA_DIR = _default_data_dir()
+
+SEED = 42
+KNN_K = 5
+KNN_RES = 7
+KNN_RING = 2
+PIP_RES = 7
+
+
+def n_images_for_sf(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if not base.startswith("sf"):
+        raise ValueError(f"sf_dir must end in sf<scale> (e.g. .../sf0.01), got {sf_dir!r}")
+    sf = float(base[2:])
+    return max(100, int(round(1060 * sf / 0.001)))
+
+
+def n_polygons_for(n_images: int) -> int:
+    return min(200, max(60, int(60 * (n_images / 1060) ** 0.5)))
+
+
+# ---------------------------------------------------------------- writers
+
+_IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+
+def images_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"images_{n}.parquet")
+
+
+def ensure_images(n: int) -> str:
+    p = images_path(n)
+    if not os.path.exists(p):
+        df = generate_images(n, seed=SEED)
+        pq.write_table(pa.Table.from_pandas(df, schema=_IMAGES_SCHEMA, preserve_index=False), p)
+    return p
+
+
+def polygons_path(m: int) -> str:
+    return os.path.join(DATA_DIR, f"polygons_{m}.parquet")
+
+
+def ensure_polygons(m: int) -> str:
+    p = polygons_path(m)
+    if not os.path.exists(p):
+        df = generate_polygons(m, seed=SEED)
+        schema = pa.schema(
+            [
+                ("polygon_id", pa.int64()),
+                ("kind", pa.string()),
+                ("ring_lat", pa.list_(pa.float64())),
+                ("ring_lon", pa.list_(pa.float64())),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), p)
+    return p
+
+
+def blocks_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"blocks_{n}.parquet")
+
+
+def ensure_blocks(n: int) -> str:
+    p = blocks_path(n)
+    if not os.path.exists(p):
+        images = pd.read_parquet(ensure_images(n))
+        df = blocks_mod.encode_blocks(images)
+        schema = pa.schema(
+            [
+                ("block_id", pa.int64()),
+                ("strtab", pa.list_(pa.string())),
+                ("id_delta", pa.list_(pa.int64())),
+                ("lat_dz", pa.list_(pa.int64())),
+                ("lon_dz", pa.list_(pa.int64())),
+                ("image_sid", pa.list_(pa.int32())),
+                ("keys_vals", pa.list_(pa.int32())),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), p)
+    return p
+
+
+# ---------------------------------------------------------------- goldens
+
+def golden_geo_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"golden_geo_{n}.parquet")
+
+
+def ensure_golden_geo(n: int) -> str:
+    """image_id, lat, lon, cell_r7/r8/r9, zcell_l12 — straight numpy, no Spark."""
+    p = golden_geo_path(n)
+    if not os.path.exists(p):
+        images = pd.read_parquet(ensure_images(n))
+        lat, lon = geo.latlon_from_phash(images["phash"].to_numpy(), images["image_id"].to_numpy())
+        out = pd.DataFrame(
+            {
+                "image_id": images["image_id"],
+                "lat": lat,
+                "lon": lon,
+                "cell_r7": geo.grid_cell(lat, lon, 7),
+                "cell_r8": geo.grid_cell(lat, lon, 8),
+                "cell_r9": geo.grid_cell(lat, lon, 9),
+                "zcell_l12": geo.z_cell(lat, lon, 12),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
+def golden_pip_path(n: int, m: int) -> str:
+    return os.path.join(DATA_DIR, f"golden_pip_{n}_{m}.parquet")
+
+
+def ensure_golden_pip(n: int, m: int) -> str:
+    """Brute-force all-points × all-polygons PIP — no prefilter, the exact row set."""
+    p = golden_pip_path(n, m)
+    if not os.path.exists(p):
+        gg = pd.read_parquet(ensure_golden_geo(n))
+        polys = pd.read_parquet(ensure_polygons(m))
+        lat = gg["lat"].to_numpy()
+        lon = gg["lon"].to_numpy()
+        ids = gg["image_id"].to_numpy()
+        out_img, out_pid = [], []
+        for _, row in polys.iterrows():
+            mask = geo.point_in_polygon(lat, lon, np.asarray(row["ring_lat"]), np.asarray(row["ring_lon"]))
+            hit = ids[mask]
+            out_img.append(hit)
+            out_pid.append(np.full(hit.size, row["polygon_id"], dtype=np.int64))
+        out = pd.DataFrame(
+            {"image_id": np.concatenate(out_img), "polygon_id": np.concatenate(out_pid)}
+        ).sort_values(["image_id", "polygon_id"], kind="mergesort", ignore_index=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
+def golden_knn_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"golden_knn_{n}.parquet")
+
+
+def ensure_golden_knn(n: int) -> str:
+    """Ring-bounded kNN golden, brute force per query (spec in operators/knn.py).
+
+    Queries: images with ordinal % 100 == 0. Candidates: points whose res-7
+    cell lies in k_ring(query_cell, 2), excluding the query itself. Rank by
+    (haversine_m, neighbor_image_id), keep k=5.
+    """
+    p = golden_knn_path(n)
+    if not os.path.exists(p):
+        gg = pd.read_parquet(ensure_golden_geo(n))
+        lat = gg["lat"].to_numpy()
+        lon = gg["lon"].to_numpy()
+        ids = gg["image_id"].to_numpy()
+        cells = gg["cell_r7"].to_numpy()
+        q_idx = np.arange(0, n, 100)
+        rows = []
+        for qi in q_idx:
+            ring = set(geo.k_ring(int(cells[qi]), KNN_RING).tolist())
+            cand = np.flatnonzero(np.isin(cells, list(ring)))
+            cand = cand[cand != qi]
+            if cand.size == 0:
+                continue
+            d = geo.haversine_m(lat[qi], lon[qi], lat[cand], lon[cand])
+            order = np.lexsort((ids[cand], d))[:KNN_K]
+            for r, oi in enumerate(order):
+                rows.append((ids[qi], ids[cand[oi]], r + 1, round(float(d[oi]), 3)))
+        out = pd.DataFrame(rows, columns=["query_image_id", "neighbor_image_id", "rank", "dist_m"])
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
+def ensure_all_for_sf(sf_dir: str) -> dict[str, str]:
+    n = n_images_for_sf(sf_dir)
+    m = n_polygons_for(n)
+    return {
+        "images": ensure_images(n),
+        "polygons": ensure_polygons(m),
+        "blocks": ensure_blocks(n),
+        "golden_geo": ensure_golden_geo(n),
+        "golden_pip": ensure_golden_pip(n, m),
+        "golden_knn": ensure_golden_knn(n),
+    }

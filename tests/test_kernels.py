@@ -1,0 +1,146 @@
+"""Pure-numpy kernel invariants (no Spark) — fast-fail layer.
+
+Mirrors the reference's assertion lattice (readosm.c:65-68 wrong_assumption +
+~40 wire-contract checks, SURVEY §5.4): every frozen spec gets a pinned value.
+"""
+
+import numpy as np
+import pytest
+
+from temp_c__bpf_osm_reader_spark.functions import codec, geo, hashing
+from temp_c__bpf_osm_reader_spark.sources import blocks, images
+
+
+def test_splitmix64_pinned():
+    # pinned reference values — spec freeze
+    out = hashing.splitmix64(np.array([0, 1, 2], dtype=np.int64))
+    assert out[0] == np.uint64(16294208416658607535)
+    assert out[1] == np.uint64(10451216379200822465)
+
+
+def test_fnv1a64_matches_scalar():
+    ids = ["img_0000001", "x", "", "äöü中"]
+    batch = hashing.fnv1a64_str_array(ids)
+    for s, h in zip(ids, batch):
+        assert hashing.fnv1a64_bytes(s.encode("utf-8")) == int(h)
+
+
+def test_codec_raw_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, 16 * 32, dtype=np.uint8)
+    assert np.array_equal(codec.decode(codec.encode(px, "raw"), 16, 32, "raw"), px)
+
+
+def test_codec_rle_psnr_above_40():
+    rng = np.random.default_rng(2)
+    for shape in [(16, 16), (64, 32)]:
+        px = rng.integers(0, 256, shape[0] * shape[1], dtype=np.uint8)
+        dec = codec.decode(codec.encode(px, "rle"), shape[0], shape[1], "rle")
+        assert codec.psnr(px, dec) >= 40.0
+
+
+def test_codec_rle_long_runs():
+    px = np.zeros(64 * 64, dtype=np.uint8)  # single 4096-run → 255-chunking
+    px[1000:2000] = 200
+    dec = codec.decode(codec.encode(px, "rle"), 64, 64, "rle")
+    assert np.array_equal(dec, codec.quantize_rle(px))
+
+
+def test_codec_unknown_fmt_stubbed():
+    with pytest.raises(NotImplementedError):
+        codec.decode(b"", 8, 8, "jpeg")
+
+
+def test_phash_batch_matches_single():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (4, 32 * 32), dtype=np.uint8)
+    batch = hashing.phash64_batch(px, 32, 32)
+    for r in range(4):
+        assert hashing.phash64(px[r], 32, 32) == batch[r]
+
+
+def test_latlon_bounds_and_jitter():
+    ph = np.array([123, 123, 456], dtype=np.int64)
+    lat, lon = geo.latlon_from_phash(ph, ["a", "b", "c"])
+    assert (lat >= -90).all() and (lat < 90).all()
+    assert (lon >= -180).all() and (lon < 180).all()
+    # same phash → same pocket (≤ jitter width), different ids → not identical
+    assert abs(lat[0] - lat[1]) <= geo.JITTER_DEG
+    assert lat[0] != lat[1]
+
+
+def test_grid_cell_roundtrip_parts():
+    lat = np.array([-90.0, 0.0, 89.999, 47.4])
+    lon = np.array([-180.0, 0.0, 179.999, 9.4])
+    for res in (7, 8, 9):
+        c = geo.grid_cell(lat, lon, res)
+        r, i, j = geo.cell_parts(c)
+        ny, nx = geo.grid_dims(res)
+        assert (r == res).all()
+        assert (i >= 0).all() and (i < ny).all()
+        assert (j >= 0).all() and (j < nx).all()
+        lat0 = i / ny * 180.0 - 90.0
+        assert ((lat >= lat0) & (lat < lat0 + 180.0 / ny)).all()
+
+
+def test_cell_parent_hierarchy():
+    lat = np.array([47.4]),
+    c9 = geo.grid_cell(np.array([47.4]), np.array([9.4]), 9)
+    c7 = geo.grid_cell(np.array([47.4]), np.array([9.4]), 7)
+    assert geo.cell_parent(c9, 7)[0] == c7[0]
+
+
+def test_k_ring_interior_and_pole():
+    c = geo.grid_cell(np.array([0.0]), np.array([0.0]), 7)[0]
+    assert geo.k_ring(int(c), 1).size == 9
+    assert geo.k_ring(int(c), 2).size == 25
+    cp = geo.grid_cell(np.array([89.9]), np.array([0.0]), 7)[0]
+    assert geo.k_ring(int(cp), 1).size == 6  # clipped at pole
+
+
+def test_k_ring_lon_wrap():
+    c = geo.grid_cell(np.array([0.0]), np.array([-179.9]), 7)[0]
+    ring = geo.k_ring(int(c), 1)
+    assert ring.size == 9  # wraps the antimeridian, no loss
+
+
+def test_pip_square_semantics():
+    rl = np.array([0.0, 0, 1, 1, 0])
+    rlo = np.array([0.0, 1, 1, 0, 0])
+    lat = np.array([0.5, 0.5, 1.5, 0.999999])
+    lon = np.array([0.5, -0.1, 0.5, 0.000001])
+    assert geo.point_in_polygon(lat, lon, rl, rlo).tolist() == [True, False, False, True]
+
+
+def test_pip_concave():
+    # U-shape (lat, lon) vertices: notch cut from the top between lon 1 and 3
+    verts = [(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (3, 3), (3, 4), (0, 4), (0, 0)]
+    rl = np.array([v[0] for v in verts], dtype=float)
+    rlo = np.array([v[1] for v in verts], dtype=float)
+    lat = np.array([0.5, 2.5, 2.5, 0.5])
+    lon = np.array([0.5, 0.5, 2.0, 3.5])
+    res = geo.point_in_polygon(lat, lon, rl, rlo)
+    assert res.tolist() == [True, True, False, True]  # notch interior excluded
+
+
+def test_zigzag_roundtrip():
+    # spec domain: |d| < 2^62 (coordinate deltas are ≤ 3.6e9; ids monotone)
+    d = np.array([0, 1, -1, 2**61, -(2**61), 12345, -3_600_000_000], dtype=np.int64)
+    assert np.array_equal(blocks.zigzag_decode(blocks.zigzag_encode(d)), d)
+
+
+def test_generator_determinism_and_dup_structure():
+    a = images.generate_images(500, seed=42)
+    b = images.generate_images(500, seed=42)
+    assert a.equals(b)
+    sizes = a.groupby("phash").size()
+    assert sizes.max() >= 20  # Zipf head → hot cell
+    assert set(a["fmt"]) == {"raw", "rle"}
+
+
+def test_blocks_roundtrip_numpy():
+    imgs = images.generate_images(250, seed=42)
+    bl = blocks.encode_blocks(imgs, block_sz=100)
+    assert len(bl) == 3
+    ids = np.cumsum(np.asarray(bl.iloc[1]["id_delta"]))
+    assert ids[0] == 100 and ids[-1] == 199

@@ -1,0 +1,85 @@
+"""Spark-side geolocate / cell index / tiling / spatial join / kNN vs goldens.
+
+The goldens come from a brute-force numpy path (sources/fixtures.py) — the
+cross-implementation oracle replacing the reference's XML-vs-PBF dual decode.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from temp_c__bpf_osm_reader_spark.operators import indexing, knn, spatial_join
+from temp_c__bpf_osm_reader_spark.sources import fixtures
+
+
+def load_points(spark, fx):
+    df = spark.read.parquet(fx["images"])
+    return indexing.with_cells(indexing.geolocate(df))
+
+
+def test_geolocate_and_cells_match_golden(spark, fx, golden_geo_pdf):
+    got = (
+        load_points(spark, fx)
+        .select("image_id", "lat", "lon", "cell_r7", "cell_r8", "cell_r9", "zcell_l12")
+        .toPandas()
+        .sort_values("image_id", ignore_index=True)
+    )
+    exp = golden_geo_pdf.sort_values("image_id", ignore_index=True)
+    assert np.array_equal(got["lat"].to_numpy(), exp["lat"].to_numpy())  # bit-exact
+    assert np.array_equal(got["lon"].to_numpy(), exp["lon"].to_numpy())
+    for c in ["cell_r7", "cell_r8", "cell_r9", "zcell_l12"]:
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_tile_assignment_deterministic_across_parallelism(spark, fx):
+    pts = load_points(spark, fx)
+    a = indexing.tile_assignment(pts, 7).toPandas().sort_values(
+        ["cell_id", "order_"], ignore_index=True
+    )
+    b = (
+        indexing.tile_assignment(pts.repartition(17), 7)
+        .toPandas()
+        .sort_values(["cell_id", "order_"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)  # byte-for-byte stable layout
+    # order_ dense from 1 per cell
+    g = a.groupby("cell_id")["order_"]
+    assert (g.min() == 1).all()
+    assert (g.max() == g.size()).all()
+
+
+def test_pip_join_matches_bruteforce_golden(spark, fx, polygons_pdf):
+    pts = load_points(spark, fx)
+    got = (
+        spatial_join.pip_join(pts, polygons_pdf)
+        .toPandas()
+        .sort_values(["image_id", "polygon_id"], ignore_index=True)
+    )
+    exp = pd.read_parquet(fx["golden_pip"]).sort_values(
+        ["image_id", "polygon_id"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_matches_golden(spark, fx):
+    pts = load_points(spark, fx)
+    n = fixtures.n_images_for_sf("/root/testdata/sf0.001")
+    queries = pts.filter(
+        (F.regexp_extract("image_id", r"img_(\d+)", 1).cast("long") % 100) == 0
+    ).select("image_id", "lat", "lon")
+    got = (
+        knn.knn_join(pts.select("image_id", "lat", "lon"), queries)
+        .toPandas()
+        .sort_values(["query_image_id", "rank"], ignore_index=True)
+    )
+    exp = pd.read_parquet(fx["golden_knn"]).sort_values(
+        ["query_image_id", "rank"], ignore_index=True
+    )
+    got["rank"] = got["rank"].astype(exp["rank"].dtype)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pip_join_plan_is_broadcast(spark, fx, polygons_pdf):
+    pts = load_points(spark, fx)
+    plan = spatial_join.pip_join(pts, polygons_pdf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # big side never shuffles
