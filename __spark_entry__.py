@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship pipeline at sf0.001: geolocate the image table from
+                 phash, cell-index at res 7, deterministic tile counts.
+queries()      — one callable per implemented operator (SURVEY.md §2 inventory);
+                 each takes (spark, sf_dir) → DataFrame.
+oracle_sql()   — DuckDB twins. Conventions that make value-hashes exact are
+                 documented in temp_c__bpf_osm_reader_spark/api.py.
 """
 
 from __future__ import annotations
@@ -12,27 +13,34 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from temp_c__bpf_osm_reader_spark import api
+from temp_c__bpf_osm_reader_spark.operators import indexing
+from temp_c__bpf_osm_reader_spark.sources import fixtures
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: images → pseudo-geolocate → res-7 cells →
+    per-cell tile counts (ordered, deterministic)."""
+    n = fixtures.n_images_for_sf("/root/testdata/sf0.001")
+    images = spark.read.parquet(fixtures.ensure_images(n))
+    pts = indexing.with_cells(indexing.geolocate(images), resolutions=(7,), zlevel=0)
+    return (
+        pts.groupBy(F.col("cell_r7").alias("cell_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("image_id").alias("first_image"),
+        )
+        .orderBy("cell_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    api.ensure_oracle_fixtures()
+    return api.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    api.ensure_oracle_fixtures()
+    return api.oracle_sql()

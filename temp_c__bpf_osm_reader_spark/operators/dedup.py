@@ -1,0 +1,166 @@
+"""Near-duplicate detection: MinHash+LSH and SimHash — the large-scale
+training-data dedup layer.
+
+Frozen specs (golden oracles in sources/fixtures_text.py re-implement them in
+plain Python, no numpy — an independent code path):
+
+MinHash (documents):
+  shingles  = distinct word 3-grams (split on single space)
+  h(s)      = FNV-1a 64 of the utf-8 shingle
+  sig[p]    = min over shingles of (a_p * h + b_p) mod 2^64, p < 64
+              (a_p, b_p from functions.hashing.minhash_params(64, seed=7))
+  bands     = 16 bands × 4 rows; candidate pair = any equal band slice
+  output    = (doc1, doc2, sig_match) for candidates with
+              sig_match = (#equal sig positions)/64 ≥ threshold
+
+SimHash (documents):
+  token hashes = FNV-1a 64 of each distinct word token
+  fingerprint  = unweighted bit-vote (functions.hashing.simhash64)
+  candidates   = equal 16-bit band (4 bands); emit pairs with hamming ≤ 6
+
+Execution shape at scale: signature UDF is a narrow Arrow-batched map; the
+LSH bucket self-join shuffles only (band_key, doc_id, sig) — never the text —
+and hot buckets are bounded by band width. This is the standard
+shingle→minhash→band→bucket-join pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import (
+    fnv1a64_str_array,
+    minhash_params,
+    minhash_signature,
+    simhash64,
+)
+
+NUM_PERM = 64
+NUM_BANDS = 16
+BAND_ROWS = NUM_PERM // NUM_BANDS
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 6
+
+
+def _shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_sig_udf(text: pd.Series) -> pd.Series:
+    a, b = minhash_params(NUM_PERM, seed=7)
+    out = []
+    for t in text:
+        hs = fnv1a64_str_array(_shingles(t))
+        out.append(minhash_signature(hs, a, b).view(np.int64).tolist())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    out = np.empty(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        toks = list(dict.fromkeys(t.split(" ")))
+        out[i] = simhash64(fnv1a64_str_array(toks))
+    return pd.Series(out)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"), minhash_sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5, docs: DataFrame | None = None
+) -> DataFrame:
+    """→ (doc1, doc2, sig_match) candidate near-dup pairs (spec above)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs).cache()
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {NUM_BANDS - 1}), "
+                f"b -> struct(b as band_id, slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}) as key))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.key").alias("key"))
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.key") == F.col("b2.key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc1"),
+            F.col("b2.doc_id").alias("doc2"),
+            F.col("b1.sig").alias("sig1"),
+            F.col("b2.sig").alias("sig2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    match = F.expr(
+        f"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / {NUM_PERM}"
+    )
+    return (
+        cand.withColumn("sig_match", F.round(match, 6))
+        .filter(F.col("sig_match") >= threshold)
+        .select("doc1", "doc2", "sig_match")
+    )
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """→ (doc1, doc2, hamming) pairs with simhash hamming distance ≤ max_hamming.
+
+    Candidates via 16-bit band equality (pigeonhole: ≤6 differing bits over 4
+    bands leaves ≥1 intact band only if ≤3 bands are hit — with 6 bit flips a
+    band can be missed; this is the standard approximate recall trade)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+                f"b -> struct(b as band_id, (shiftright(sh, b * 16) & 65535) as key))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.key")
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    hamming = F.bit_count(F.col("b1.sh").bitwiseXOR(F.col("b2.sh")))
+    return (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.key") == F.col("b2.key"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc1"),
+            F.col("b2.doc_id").alias("doc2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,292 @@
+"""Relational query layer — SURVEY §2.3 (the SQL capabilities the reference
+drives through SQLite) plus the §2.4 capability-gap operators, expressed as
+DataFrame plans over the driver's TPC-H-ish tables and the image fixtures.
+
+Every function takes (spark, sf_dir) and returns a DataFrame whose column
+names/types match its DuckDB oracle twin in api.py. Aggregated doubles are
+rounded explicitly (both engines round half-away-from-zero on doubles) so
+value-hashes compare exactly; raw stored doubles pass through untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents — float aggregates sum these so the result is
+    independent of summation order (oracle-exact; see api.py conventions)."""
+    return F.round(col * 100).cast("bigint")
+
+
+# ---------------------------------------------------------------- Q4/Q1: hash agg
+
+def q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped agg w/ partial+final hash agg (SURVEY Q4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_cents(F.col("l_quantity"))) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(_cents(F.col("l_extendedprice"))) / 100.0, 2).alias("sum_base_price"),
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+                / 10000.0,
+                2,
+            ).alias("sum_disc_price"),
+            F.round(F.sum(_cents(F.col("l_quantity"))) / 100.0 / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- Q2: semi-join
+
+def semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of customers in ASIA — left-semi chain (addr.sql IN-subquery shape,
+    post_process/addr.sql:31-39)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    asia_custs = cust.join(F.broadcast(asia_nations), cust.c_nationkey == asia_nations.n_nationkey, "left_semi")
+    return (
+        orders.join(asia_custs.select("c_custkey"), orders.o_custkey == asia_custs.c_custkey, "left_semi")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — NOT EXISTS (§2.4 set-op gap)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------- Q3: EAV pivot
+
+def caption_kv(images: DataFrame) -> DataFrame:
+    """Parse the fixed caption grammar into an EAV table (image_id, k, v) —
+    the analogue of `tag(nod_id, k, v)` (pbf2sqlite.c:460-468)."""
+    toks = F.split(F.col("caption"), " ")
+    wide = images.select(
+        "image_id",
+        F.element_at(toks, 5).alias("place"),
+        F.expr("substring(element_at(split(caption, ' '), 6), 7)").alias("style"),
+        F.expr("substring(element_at(split(caption, ' '), 7), 3)").alias("q"),
+        F.element_at(toks, 3).alias("noun"),
+    )
+    return wide.selectExpr(
+        "image_id",
+        "stack(4, 'place', place, 'style', style, 'q', q, 'noun', noun) as (k, v)",
+    )
+
+
+def tag_pivot(spark: SparkSession, sf_dir: str, images_path: str) -> DataFrame:
+    """EAV → wide via max(CASE) pivot — post_process/addr.sql:19-42 shape."""
+    images = spark.read.parquet(images_path)
+    eav = caption_kv(images)
+    return (
+        eav.groupBy("image_id")
+        .agg(
+            F.max(F.when(F.col("k") == "place", F.col("v"))).alias("place"),
+            F.max(F.when(F.col("k") == "style", F.col("v"))).alias("style"),
+            F.max(F.when(F.col("k") == "q", F.col("v"))).alias("q"),
+            F.max(F.when(F.col("k") == "noun", F.col("v"))).alias("noun"),
+        )
+    )
+
+
+def caption_semi_join(spark: SparkSession, sf_dir: str, images_path: str) -> DataFrame:
+    """Images that have tag q >= 8 — semi-join against the EAV (addr.sql Q2)."""
+    images = spark.read.parquet(images_path)
+    eav = caption_kv(images)
+    keys = eav.filter((F.col("k") == "q") & (F.col("v").cast("int") >= 8)).select("image_id")
+    return images.join(keys, "image_id", "left_semi").select("image_id", "caption")
+
+
+# ---------------------------------------------------------------- Q1: null scan
+
+def null_scan(spark: SparkSession, sf_dir: str, meta_path: str) -> DataFrame:
+    """Data-quality scan over the corrupt EAV fixture —
+    queries-null-values-in-tag.sql:1-8."""
+    meta = spark.read.parquet(meta_path)
+    return meta.filter(F.col("k").isNull() | F.col("v").isNull()).select(
+        "image_id", "k", "v"
+    )
+
+
+# ---------------------------------------------------------------- Q5: union
+
+def multi_branch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 filtered branches → one table (addr.sql 3× INSERT...SELECT shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("branch"), "o_orderkey", "o_totalprice"
+    )
+    b2 = orders.filter(
+        (F.col("o_orderpriority") == "2-HIGH") & (F.col("o_totalprice") > 100000)
+    ).select(F.lit("high_big").alias("branch"), "o_orderkey", "o_totalprice")
+    b3 = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("finished").alias("branch"), "o_orderkey", "o_totalprice"
+    )
+    return b1.unionByName(b2).unionByName(b3)
+
+
+# ---------------------------------------------------------------- Q11: ordered reassembly
+
+def ordered_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reassemble ordered sequences per parent — nod_way.order_ semantics
+    (pbf2sqlite.c:426): per order, linenumbers in order as a string."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("l_linenumber")))
+            ).alias("seq"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- top-k / window
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user over time — window frame capability (§2.4)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(_cents(F.col("value"))).over(w) / 100.0, 2).alias("running_value"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: lag + gap>threshold cumsum (guide 'Common OLAP patterns')."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # count-style running sum (bigint both engines; duckdb sum(int) would be HUGEINT)
+    return ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.count(F.when(F.col("new_sess") == 1, 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).select("user_id", "event_id", "session_id")
+
+
+# ---------------------------------------------------------------- pivot / rollup / distinct
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV→wide pivot on a driver table (SURVEY Q3 in oracle-checkable form)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_cents(F.col("l_quantity"))) / 100.0, 2).alias("qty"),
+        )
+    )
+
+
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# ---------------------------------------------------------------- joins
+
+def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg (TPC-H Q3 shape): lineitem ⋈ orders ⋈ customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+                / 10000.0,
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def date_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp → ISO-8601 string (D13, pbf2sqlite.c:664-679) + date parts."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    )
+
+
+# ---------------------------------------------------------------- streaming-equivalent window agg
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window agg — the batch twin of the streaming query in
+    streaming/events.py (same semantics; streaming equivalence tested in pytest)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_cents(F.col("value"))) / 100.0, 2).alias("v"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )

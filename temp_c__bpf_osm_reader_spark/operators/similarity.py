@@ -1,0 +1,130 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two paths, as a training-data pipeline needs:
+  * brute-force cosine top-k — the exact baseline (oracle-checked against
+    DuckDB's list_cosine_similarity on the same vectors cast to double);
+  * SRP-LSH bucketed ANN — the scale path (random-hyperplane signatures via a
+    vectorized pandas UDF, candidates restricted to matching buckets).
+
+Cosine is computed JVM-side with zip_with + aggregate over double-cast arrays:
+float32 → float64 is exact, and both engines then sum in array order →
+bit-identical dot products; rounding to 6 decimals absorbs the remaining
+sqrt-association difference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.hashing import splitmix64, u01
+
+ANN_K = 10
+NEAR_DUP_TAU = 0.4
+SRP_BITS = 16
+SRP_DIM = 64
+SRP_SEED = 1234
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return df.withColumn("v", F.expr("transform(embedding, x -> cast(x as double))"))
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
+
+
+def _cos_expr(a: str, b: str, na: str, nb: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b)) / (F.col(na) * F.col(nb))
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+
+
+def ann_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, k: int = ANN_K, query_mod: int = 20
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id % query_mod == 0 vs the full table.
+    → (query_id, neighbor_id, rnk, sim). Rank by (round(sim,6) desc, neighbor_id).
+
+    Plan: broadcast the small query side; candidates never shuffle; the only
+    shuffle is the per-query window top-k (keyed by query count)."""
+    base = _with_norm(_emb(spark, sf_dir))
+    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cand = base.select(F.col("vec_id").alias("neighbor_id"), "v", "norm").crossJoin(
+        F.broadcast(queries)
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(_cos_expr("qv", "v", "qnorm", "norm"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    )
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = NEAR_DUP_TAU) -> DataFrame:
+    """Exact embedding near-dup pairs: cosine ≥ tau, vec1 < vec2 → (vec1, vec2, sim)."""
+    base = _with_norm(_emb(spark, sf_dir))
+    a = base.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
+    b = base.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("norm").alias("n2"))
+    sim = F.round(
+        F.expr(_DOT.format(a="v1", b="v2")) / (F.col("n1") * F.col("n2")), 6
+    )
+    return (
+        a.join(b, F.col("vec1") < F.col("vec2"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= tau)
+        .select("vec1", "vec2", "sim")
+    )
+
+
+def _srp_planes() -> np.ndarray:
+    """Deterministic random hyperplanes: (SRP_BITS, SRP_DIM) in [-1, 1)."""
+    idx = np.arange(SRP_BITS * SRP_DIM, dtype=np.int64) + SRP_SEED
+    return (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(SRP_BITS, SRP_DIM)
+
+
+@F.pandas_udf(T.IntegerType())
+def srp_bucket_udf(v: pd.Series) -> pd.Series:
+    planes = _srp_planes()
+    mat = np.stack(v.to_numpy())  # (n, dim)
+    bits = (mat @ planes.T) > 0  # (n, bits)
+    weights = (1 << np.arange(SRP_BITS)).astype(np.int64)
+    return pd.Series((bits @ weights).astype(np.int32))
+
+
+def ann_topk_srp(
+    spark: SparkSession, sf_dir: str, k: int = ANN_K, query_mod: int = 20
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's SRP bucket.
+
+    The 100-TB path: bucket is a shuffle/partition key; each bucket is a small
+    local problem. Recall < 1 by construction (rows-only check, no oracle)."""
+    base = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", srp_bucket_udf(F.col("v")))
+    queries = base.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    cand = base.select(F.col("vec_id").alias("neighbor_id"), "v", "norm", "bucket").join(
+        F.broadcast(queries), "bucket"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(_cos_expr("qv", "v", "qnorm", "norm"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    )

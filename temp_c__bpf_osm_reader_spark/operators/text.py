@@ -1,0 +1,164 @@
+"""Text-analysis operators over the `documents` table — the training-data
+pipeline layer (language-ID heuristic, quality scoring, token counting,
+fingerprinting, exact dedup). All JVM-side built-ins; the fingerprint uses
+md5 (identical semantics in Spark and DuckDB → oracle-exact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+    "es": ["el", "los", "de"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _count_token(col, word):
+    """# of occurrences of ' word ' in ' text ' — length-difference trick,
+    expressible identically in DuckDB."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, needle, " ")))
+        / (len(needle) - 1)
+    ).cast("bigint")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_chars2, punct_ratio, upper_ratio) — quality raw signals."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[.,;:!?]", "")
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars2"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_ratio"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen heuristic language ID: CJK chars → zh; else argmax stopword votes
+    with priority order en > fr > de > es; all-zero votes → 'und'.
+
+    (The driver's `lang` column is a synthetic label over a shared vocabulary —
+    the operator's contract is the deterministic heuristic, not label recovery.)
+    """
+    d = _docs(spark, sf_dir)
+    votes = {
+        lang: sum((_count_token(F.col("text"), w) for w in ws), F.lit(0).cast("bigint"))
+        for lang, ws in STOPWORDS.items()
+    }
+    best = F.greatest(*votes.values())
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(best == 0, "und")
+        .when(votes["en"] == best, "en")
+        .when(votes["fr"] == best, "fr")
+        .when(votes["de"] == best, "de")
+        .otherwise("es")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length band + mean token length band +
+    punctuation penalty. Frozen formula; rounded to 6."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    mean_tok_len = (F.length("text") - n_tok + 1) / n_tok
+    len_score = F.least(n_tok / 64.0, F.lit(1.0))
+    tok_score = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 8.0), 1.0).otherwise(0.5)
+    n_punct = F.length("text") - F.length(F.regexp_replace(F.col("text"), "[.,;:!?]", ""))
+    punct_pen = F.least(n_punct / F.length("text") * 5.0, F.lit(0.5))
+    score = F.round(0.5 * len_score + 0.5 * tok_score - punct_pen, 6)
+    return d.select("doc_id", score.alias("quality"))
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: md5(lower(text) stripped of [.,;:!?]).
+
+    md5 is byte-identical across Spark and DuckDB — a genuinely shared spec
+    (the role the rolling hash plays in single-node dedup pipelines)."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), "[.,;:!?]", "")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: same md5(text) — (fp, n_dups, canonical_doc_id).
+    Scale path: hash-groupBy (map-side partial agg; no full-text shuffle)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def caption_exact_dedup(spark: SparkSession, sf_dir: str, images_path: str) -> DataFrame:
+    """Exact caption dedup over the images fixture (dup clusters by design)."""
+    images = spark.read.parquet(images_path)
+    return (
+        images.select("image_id", F.md5("caption").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("image_id").alias("canonical"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard ≥ threshold.
+
+    Plan: distinct n-gram shingles per doc (JVM transform over split tokens) →
+    self-equi-join on shingle → per-pair intersection counts → Jaccard.
+    At scale the shingle join shuffles on the shingle hash — the standard
+    exact-verification stage after LSH prefiltering (dedup.py)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    # greatest(..., 1): short docs yield one whole-text gram,
+                    # and sequence(1, 0) in Spark would count DOWN, not empty
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)), "
+                    f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g1 = grams.alias("g1")
+    g2 = grams.alias("g2")
+    inter = (
+        g1.join(g2, (F.col("g1.gram") == F.col("g2.gram")) & (F.col("g1.doc_id") < F.col("g2.doc_id")))
+        .groupBy(F.col("g1.doc_id").alias("doc1"), F.col("g2.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("sz").alias("sz2"))
+    jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )

@@ -1,0 +1,190 @@
+"""Independent pure-Python golden generators for the non-SQL-expressible
+operators (MinHash LSH, SimHash, image decode) + the corrupt-EAV fixture.
+
+Deliberately numpy-free re-implementations of the frozen specs in
+operators/dedup.py / functions/hashing.py — a second code path, so a bug in
+the vectorized kernels cannot silently agree with its own golden. (The same
+dual-decode idea as the reference's XML-vs-PBF golden equivalence, SURVEY §5.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import fixtures
+
+_M = (1 << 64) - 1
+
+NUM_PERM = 64
+NUM_BANDS = 16
+BAND_ROWS = 4
+MINHASH_SEED = 7
+SIMHASH_BANDS = 4
+
+
+def _sm64(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & _M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M
+    return z ^ (z >> 31)
+
+
+def _fnv(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for c in data:
+        h = ((h ^ c) * 0x100000001B3) & _M
+    return h
+
+
+def _shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
+def _minhash_sig(text: str) -> list[int]:
+    hs = [_fnv(s.encode("utf-8")) for s in _shingles(text)]
+    sig = []
+    for p in range(NUM_PERM):
+        a = _sm64(p + MINHASH_SEED * 1_000_003) | 1
+        b = _sm64(p + MINHASH_SEED * 1_000_003 + 500_009)
+        sig.append(min(((a * h) + b) & _M for h in hs) if hs else _M)
+    return sig
+
+
+def _simhash(text: str) -> int:
+    toks = list(dict.fromkeys(text.split(" ")))
+    votes = [0] * 64
+    for t in toks:
+        h = _fnv(t.encode("utf-8"))
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def golden_minhash_pairs(docs: pd.DataFrame, id_col: str, text_col: str, threshold: float) -> pd.DataFrame:
+    sigs = {int(r[id_col]): _minhash_sig(r[text_col]) for _, r in docs.iterrows()}
+    buckets: dict[tuple, list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(NUM_BANDS):
+            key = (b, tuple(sig[b * BAND_ROWS : (b + 1) * BAND_ROWS]))
+            buckets.setdefault(key, []).append(did)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    rows = []
+    for d1, d2 in sorted(pairs):
+        match = sum(1 for a, b in zip(sigs[d1], sigs[d2]) if a == b) / NUM_PERM
+        if match >= threshold:
+            rows.append((d1, d2, match))  # k/64 is exact at 6 decimals
+    return pd.DataFrame(rows, columns=["doc1", "doc2", "sig_match"]).astype(
+        {"doc1": "int64", "doc2": "int64", "sig_match": "float64"}
+    )
+
+
+def golden_simhash_pairs(docs: pd.DataFrame, id_col: str, text_col: str, max_hamming: int) -> pd.DataFrame:
+    sh = {int(r[id_col]): _simhash(r[text_col]) for _, r in docs.iterrows()}
+    buckets: dict[tuple, list[int]] = {}
+    for did, h in sh.items():
+        for b in range(SIMHASH_BANDS):
+            buckets.setdefault((b, (h >> (b * 16)) & 0xFFFF), []).append(did)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    rows = []
+    for d1, d2 in sorted(pairs):
+        ham = bin(sh[d1] ^ sh[d2]).count("1")
+        if ham <= max_hamming:
+            rows.append((d1, d2, ham))
+    return pd.DataFrame(rows, columns=["doc1", "doc2", "hamming"]).astype(
+        {"doc1": "int64", "doc2": "int64", "hamming": "int32"}
+    )
+
+
+def ensure_golden_minhash(sf_dir: str, threshold: float = 0.5) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    p = os.path.join(fixtures.DATA_DIR, f"golden_minhash_{base}.parquet")
+    if not os.path.exists(p):
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        out = golden_minhash_pairs(docs, "doc_id", "text", threshold)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
+def ensure_golden_simhash(sf_dir: str, max_hamming: int = 6) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    p = os.path.join(fixtures.DATA_DIR, f"golden_simhash_{base}.parquet")
+    if not os.path.exists(p):
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        out = golden_simhash_pairs(docs, "doc_id", "text", max_hamming)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
+# ---------------------------------------------------------------- decode golden
+
+def ensure_golden_decode(n: int) -> str:
+    """(image_id, fmt, pix_sum, phash_dec) via plain-python RLE walk + the
+    batch phash kernel — validates the Spark decode path end-to-end."""
+    p = os.path.join(fixtures.DATA_DIR, f"golden_decode_{n}.parquet")
+    if not os.path.exists(p):
+        import numpy as np
+
+        from ..functions.hashing import phash64
+
+        images = pd.read_parquet(fixtures.ensure_images(n))
+        rows = []
+        for _, r in images.iterrows():
+            data = r["bytes"]
+            if r["fmt"] == "raw":
+                px = list(data)
+            else:  # rle: (count, value) pairs — independent scalar decoder
+                px = []
+                for i in range(0, len(data), 2):
+                    px.extend([data[i + 1]] * data[i])
+            assert len(px) == r["w"] * r["h"]
+            ph = phash64(np.array(px, dtype=np.uint8), int(r["w"]), int(r["h"]))
+            rows.append((r["image_id"], r["fmt"], sum(px), ph))
+        out = pd.DataFrame(rows, columns=["image_id", "fmt", "pix_sum", "phash_dec"]).astype(
+            {"pix_sum": "int64", "phash_dec": "int64"}
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
+# ---------------------------------------------------------------- corrupt EAV fixture
+
+def ensure_meta_corrupt(n: int) -> str:
+    """EAV rows with NULL k/v injected every 97th image — the corrupt fixture
+    for the null-scan query (queries-null-values-in-tag.sql:1-8)."""
+    p = os.path.join(fixtures.DATA_DIR, f"meta_corrupt_{n}.parquet")
+    if not os.path.exists(p):
+        images = pd.read_parquet(fixtures.ensure_images(n))
+        rows = []
+        for i, r in images.iterrows():
+            words = r["caption"].split(" ")
+            rows.append((r["image_id"], "place", words[4]))
+            rows.append((r["image_id"], "style", words[5][6:]))
+            if i % 97 == 0:
+                rows.append((r["image_id"], None, words[2]))
+            if i % 97 == 50:
+                rows.append((r["image_id"], "noun", None))
+        out = pd.DataFrame(rows, columns=["image_id", "k", "v"])
+        schema = pa.schema([("image_id", pa.string()), ("k", pa.string()), ("v", pa.string())])
+        pq.write_table(pa.Table.from_pandas(out, schema=schema, preserve_index=False), p)
+    return p
