@@ -43,26 +43,36 @@ def fnv1a64_bytes(data: bytes) -> int:
 def fnv1a64_str_array(strs) -> np.ndarray:
     """FNV-1a over an iterable of strings → uint64 array.
 
-    Vectorized via a single concatenated byte buffer + per-string reduction.
-    For the string lengths used here (ids ~10 chars) the np.frompyfunc path
-    would dominate; instead we do a padded-matrix horner evaluation.
+    Fully vectorized: one pyarrow UTF-8 buffer (contiguous bytes + offsets) is
+    scattered into a padded (n, maxlen) matrix with no per-string Python loop,
+    then hashed column-by-column (maxlen iterations — ~13 for image ids).
     """
-    enc = [s.encode("utf-8") for s in strs]
-    n = len(enc)
+    import pyarrow as pa
+
+    arr = pa.array(strs, type=pa.string())
+    if arr.null_count:
+        raise ValueError("fnv1a64_str_array: null strings not allowed")
+    n = len(arr)
     if n == 0:
         return np.empty(0, dtype=U64)
-    maxlen = max(len(b) for b in enc)
+    validity, offsets_buf, data_buf = arr.buffers()
+    off = np.frombuffer(offsets_buf, dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    buf = np.frombuffer(data_buf, dtype=np.uint8)
+    lens = np.diff(off).astype(np.int64)
+    total = int(lens.sum())
+    maxlen = int(lens.max()) if n else 0
     mat = np.zeros((n, maxlen), dtype=np.uint8)
-    lens = np.empty(n, dtype=np.int64)
-    for i, b in enumerate(enc):
-        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-        lens[i] = len(b)
+    if total:
+        rows = np.repeat(np.arange(n), lens)
+        starts = np.repeat(off[:-1].astype(np.int64), lens)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
+        )
+        mat[rows, pos] = buf[starts + pos]
     h = np.full(n, _FNV_OFFSET, dtype=U64)
-    col_idx = np.arange(maxlen)
     for j in range(maxlen):
-        active = lens > col_idx[j]
-        hj = (h[active] ^ mat[active, j].astype(U64)) * _FNV_PRIME
-        h[active] = hj
+        active = lens > j
+        h[active] = (h[active] ^ mat[active, j].astype(U64)) * _FNV_PRIME
     return h
 
 

@@ -15,21 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import codec
-from .geo import latlon_from_phash
 from .hashing import phash64_batch
 
-_LATLON_TYPE = T.StructType(
-    [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
-)
-
-
-@F.pandas_udf(_LATLON_TYPE)
-def latlon_udf(phash: pd.Series, image_id: pd.Series) -> pd.DataFrame:
-    """phash + image_id → (lat, lon). The engine's 'delta-decode + scale'
-    analogue (readosm.c:1179-1211) — uint64 bit-mix, not expressible JVM-side
-    without overflow-unsafe arithmetic."""
-    lat, lon = latlon_from_phash(phash.to_numpy(np.int64), image_id.to_numpy())
-    return pd.DataFrame({"lat": lat, "lon": lon})
+# NOTE: pseudo-geolocation lives in operators/indexing.py:geolocate as a
+# mapInPandas pass, not an expression UDF — Catalyst would re-evaluate an
+# expression UDF once per referencing operator (see that docstring).
 
 
 @F.pandas_udf(T.BinaryType())

@@ -14,20 +14,40 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from ..functions.geo import RES_SHIFT, I_SHIFT
-from ..functions.udfs import latlon_udf
+from ..functions.geo import RES_SHIFT, I_SHIFT, latlon_from_phash
 
 
-def geolocate(df: DataFrame) -> DataFrame:
-    """Add (lat, lon) pseudo-coordinates from (phash, image_id).
+def geolocate(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(image_id, phash, …) → (image_id, …extra, lat, lon) — single
+    mapInPandas pass (one Arrow round-trip, no shuffle).
 
-    Narrow (no shuffle); one Arrow round-trip per batch.
+    Deliberately NOT an expression UDF: Catalyst collapses projections and
+    would re-evaluate the Python expression once per referencing operator
+    (observed: latlon computed 2× in the PIP plan). mapInPandas materializes
+    the columns exactly once. Payload columns (bytes) are pruned before the
+    Python boundary.
     """
-    ll = latlon_udf(F.col("phash"), F.col("image_id"))
-    return df.withColumn("_ll", ll).withColumn("lat", F.col("_ll.lat")).withColumn(
-        "lon", F.col("_ll.lon")
-    ).drop("_ll")
+    keep = ["image_id", *extra_cols]
+    src = df.select(*dict.fromkeys(keep + ["phash"]))
+    fields = [f for f in src.schema.fields if f.name != "phash" or "phash" in keep]
+    out_schema = T.StructType(
+        fields
+        + [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
+    )
+    drop_phash = "phash" not in keep
+
+    def gen(batches):
+        for pdf in batches:
+            lat, lon = latlon_from_phash(
+                pdf["phash"].to_numpy(), pdf["image_id"].to_numpy()
+            )
+            out = pdf.drop(columns=["phash"]) if drop_phash else pdf
+            out = out.assign(lat=lat, lon=lon)
+            yield out
+
+    return src.mapInPandas(gen, schema=out_schema)
 
 
 def grid_cell_col(lat: Column, lon: Column, res: int) -> Column:
@@ -102,6 +122,74 @@ def tile_assignment(points: DataFrame, res: int = 7) -> DataFrame:
         points.select(cell.alias("cell_id"), "image_id")
         .withColumn("order_", F.row_number().over(w))
     )
+
+
+def tile_assignment_scalable(
+    points: DataFrame, res: int = 7, partitions: int | None = None
+) -> DataFrame:
+    """Byte-identical to tile_assignment, but without the one-task-per-cell
+    window bottleneck: at 10^12 rows a hot cell (Zipf head) would serialize an
+    entire reducer. Instead:
+
+      1. repartitionByRange(cell_id, image_id) + sortWithinPartitions — hot
+         cells SPAN partitions instead of landing on one;
+      2. per-(partition, cell) counts → driver (bounded by #cells + #partitions
+         because ranges are contiguous) → broadcast prefix offsets;
+      3. mapInPandas assigns order_ = local running rank + offset.
+
+    Output equality with tile_assignment is pinned by test_spark_geo.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    spark = points.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    cell = F.col(f"cell_r{res}") if f"cell_r{res}" in points.columns else grid_cell_col(
+        F.col("lat"), F.col("lon"), res
+    )
+    rp = (
+        points.select(cell.alias("cell_id"), "image_id")
+        .repartitionByRange(partitions, "cell_id", "image_id")
+        .sortWithinPartitions("cell_id", "image_id")
+        .cache()
+    )
+    stats = (
+        rp.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "cell_id")
+        .count()
+        .collect()
+    )
+    by_cell: dict[int, list[tuple[int, int]]] = {}
+    for r in stats:
+        by_cell.setdefault(r["cell_id"], []).append((r["pid"], r["count"]))
+    offsets: dict[tuple[int, int], int] = {}
+    for cid, lst in by_cell.items():
+        lst.sort()
+        acc = 0
+        for pid, c in lst:
+            offsets[(pid, cid)] = acc
+            acc += c
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches):
+        pid = TaskContext.get().partitionId()
+        seen: dict[int, int] = {}
+        off = bc.value
+        for pdf in batches:
+            cells = pdf["cell_id"].to_numpy()
+            order = [0] * len(pdf)
+            for i, cid in enumerate(cells):
+                base = seen.get(cid)
+                if base is None:
+                    base = off.get((pid, int(cid)), 0)
+                order[i] = base + 1
+                seen[cid] = base + 1
+            yield pd.DataFrame(
+                {"cell_id": cells, "image_id": pdf["image_id"], "order_": order}
+            )
+
+    return rp.mapInPandas(assign, schema="cell_id long, image_id string, order_ int")
 
 
 def write_indexed(points: DataFrame, path: str, res: int = 7, buckets: int = 64) -> None:

@@ -1,0 +1,73 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must be
+visible in `.explain` output — pushdown, pruning, broadcast, codegen.
+These guard against regressions that correctness tests can't see.
+"""
+
+from pyspark.sql import functions as F
+
+from temp_c__bpf_osm_reader_spark.operators import indexing, knn, relational, similarity
+from temp_c__bpf_osm_reader_spark.sources import fixtures
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]" in plan
+
+
+def test_column_pruning_reads_minimal_schema(spark, fx):
+    # payload (bytes) must NOT reach the scan when only phash/image_id are used
+    images = spark.read.parquet(fx["images"])
+    df = indexing.geolocate(images)
+    plan = _plan(df)
+    assert "ReadSchema: struct<image_id:string,phash:bigint>" in plan
+    assert "bytes" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_semi_join_is_broadcast(spark):
+    plan = _plan(relational.semi_join_orders(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_revenue_join_broadcasts_customer(spark):
+    plan = _plan(relational.revenue_by_segment(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_expansion_is_broadcast_no_points_shuffle(spark, fx):
+    pts = indexing.geolocate(spark.read.parquet(fx["images"]))
+    queries = pts.limit(10).select("image_id", "lat", "lon")
+    plan = _plan(knn.knn_join(pts.select("image_id", "lat", "lon"), queries))
+    assert "BroadcastHashJoin" in plan
+    # the only Exchange over the big side should be the final top-k window
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q1_whole_stage_codegen(spark):
+    df = relational.q1_lineitem_agg(spark, SF)
+    df.collect()  # AQE shows codegen spans only in the finalized plan
+    plan = _plan(df)
+    # codegen'd operators carry the "*(n)" stage prefix in the plan string
+    assert "*(1)" in plan and "isFinalPlan=true" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # partial_count before the exchange → map-side combine is in place
+    plan = _plan(relational.q1_lineitem_agg(spark, SF))
+    assert "partial_" in plan  # HashAggregate(..., functions=[partial_sum...])
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    plan = _plan(similarity.ann_topk_bruteforce(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

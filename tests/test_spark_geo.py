@@ -48,6 +48,19 @@ def test_tile_assignment_deterministic_across_parallelism(spark, fx):
     assert (g.max() == g.size()).all()
 
 
+def test_tile_assignment_scalable_equals_window_variant(spark, fx):
+    pts = load_points(spark, fx)
+    a = indexing.tile_assignment(pts, 7).toPandas().sort_values(
+        ["cell_id", "order_"], ignore_index=True
+    )
+    b = (
+        indexing.tile_assignment_scalable(pts, 7, partitions=7)
+        .toPandas()
+        .sort_values(["cell_id", "order_"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_pip_join_matches_bruteforce_golden(spark, fx, polygons_pdf):
     pts = load_points(spark, fx)
     got = (
