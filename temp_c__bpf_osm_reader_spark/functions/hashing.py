@@ -49,7 +49,10 @@ def fnv1a64_str_array(strs) -> np.ndarray:
     """
     import pyarrow as pa
 
-    arr = pa.array(strs, type=pa.string())
+    if isinstance(strs, pa.Array):
+        arr = strs  # Arrow-native callers (mapInArrow): zero conversion
+    else:
+        arr = pa.array(strs, type=pa.string())
     if arr.null_count:
         raise ValueError("fnv1a64_str_array: null strings not allowed")
     n = len(arr)
@@ -57,22 +60,29 @@ def fnv1a64_str_array(strs) -> np.ndarray:
         return np.empty(0, dtype=U64)
     validity, offsets_buf, data_buf = arr.buffers()
     off = np.frombuffer(offsets_buf, dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    off = off.astype(np.int64)
     buf = np.frombuffer(data_buf, dtype=np.uint8)
-    lens = np.diff(off).astype(np.int64)
-    total = int(lens.sum())
+    lens = np.diff(off)
+    starts = off[:-1]
     maxlen = int(lens.max()) if n else 0
-    mat = np.zeros((n, maxlen), dtype=np.uint8)
-    if total:
-        rows = np.repeat(np.arange(n), lens)
-        starts = np.repeat(off[:-1].astype(np.int64), lens)
-        pos = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(lens)[:-1])), lens
-        )
-        mat[rows, pos] = buf[starts + pos]
     h = np.full(n, _FNV_OFFSET, dtype=U64)
-    for j in range(maxlen):
-        active = lens > j
-        h[active] = (h[active] ^ mat[active, j].astype(U64)) * _FNV_PRIME
+    if maxlen == 0:
+        return h
+    # byte j of every string is a strided gather from the shared UTF-8 buffer
+    # (no scatter matrix — O(Σlen) gathers total, nothing materialized per row)
+    if int(lens.min()) == maxlen:
+        # uniform length (generated ids): Arrow's data buffer is the packed
+        # (n, maxlen) byte matrix already — column views, no gathers/masks
+        mat = buf[starts[0] : starts[0] + n * maxlen].reshape(n, maxlen)
+        for j in range(maxlen):
+            np.bitwise_xor(h, mat[:, j].astype(U64), out=h)
+            np.multiply(h, _FNV_PRIME, out=h)
+    else:
+        alive = np.arange(n)  # strings longer than j — shrinks monotonically
+        for j in range(maxlen):
+            alive = alive[lens[alive] > j]
+            b = buf[starts[alive] + j].astype(U64)
+            h[alive] = (h[alive] ^ b) * _FNV_PRIME
     return h
 
 

@@ -21,14 +21,18 @@ from ..functions.geo import RES_SHIFT, I_SHIFT, latlon_from_phash
 
 def geolocate(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """(image_id, phash, …) → (image_id, …extra, lat, lon) — single
-    mapInPandas pass (one Arrow round-trip, no shuffle).
+    mapInArrow pass (one Arrow hop, no shuffle, no pandas materialization).
 
     Deliberately NOT an expression UDF: Catalyst collapses projections and
     would re-evaluate the Python expression once per referencing operator
-    (observed: latlon computed 2× in the PIP plan). mapInPandas materializes
-    the columns exactly once. Payload columns (bytes) are pruned before the
-    Python boundary.
+    (observed: latlon computed 2× in the PIP plan). And Arrow-native rather
+    than mapInPandas: the FNV kernel reads the UTF-8 buffer of the Arrow
+    string column directly, so image_ids are never materialized as Python
+    objects (input_hint: vectorized Arrow UDFs, no per-row Python). Payload
+    columns (bytes) are pruned before the Python boundary.
     """
+    import pyarrow as pa
+
     keep = ["image_id", *extra_cols]
     src = df.select(*dict.fromkeys(keep + ["phash"]))
     fields = [f for f in src.schema.fields if f.name != "phash" or "phash" in keep]
@@ -36,18 +40,21 @@ def geolocate(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
         fields
         + [T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())]
     )
-    drop_phash = "phash" not in keep
+    out_names = [f.name for f in out_schema.fields]
 
     def gen(batches):
-        for pdf in batches:
-            lat, lon = latlon_from_phash(
-                pdf["phash"].to_numpy(), pdf["image_id"].to_numpy()
-            )
-            out = pdf.drop(columns=["phash"]) if drop_phash else pdf
-            out = out.assign(lat=lat, lon=lon)
-            yield out
+        for rb in batches:
+            cols = {rb.schema.field(i).name: rb.column(i) for i in range(rb.num_columns)}
+            ids = cols["image_id"]
+            if isinstance(ids, pa.ChunkedArray):  # defensive; batches are flat
+                ids = ids.combine_chunks()
+            phash = cols["phash"].to_numpy(zero_copy_only=False)
+            lat, lon = latlon_from_phash(phash, ids)
+            cols["lat"] = pa.array(lat, type=pa.float64())
+            cols["lon"] = pa.array(lon, type=pa.float64())
+            yield pa.RecordBatch.from_arrays([cols[n] for n in out_names], names=out_names)
 
-    return src.mapInPandas(gen, schema=out_schema)
+    return src.mapInArrow(gen, schema=out_schema)
 
 
 def grid_cell_col(lat: Column, lon: Column, res: int) -> Column:
@@ -139,6 +146,7 @@ def tile_assignment_scalable(
 
     Output equality with tile_assignment is pinned by test_spark_geo.
     """
+    import numpy as np
     import pandas as pd
     from pyspark import TaskContext
 
@@ -173,23 +181,48 @@ def tile_assignment_scalable(
     bc = spark.sparkContext.broadcast(offsets)
 
     def assign(batches):
+        # rows arrive sorted by (cell_id, image_id) → equal cells are
+        # contiguous runs; order_ is vectorized run-length arithmetic (the
+        # Python loop below is per-RUN, not per-row). image_id passes through
+        # as an untouched Arrow column — never materialized in Python.
+        # `seen` only carries a cell split across Arrow batch boundaries.
+        import pyarrow as pa
+
         pid = TaskContext.get().partitionId()
         seen: dict[int, int] = {}
         off = bc.value
-        for pdf in batches:
-            cells = pdf["cell_id"].to_numpy()
-            order = [0] * len(pdf)
-            for i, cid in enumerate(cells):
-                base = seen.get(cid)
-                if base is None:
-                    base = off.get((pid, int(cid)), 0)
-                order[i] = base + 1
-                seen[cid] = base + 1
-            yield pd.DataFrame(
-                {"cell_id": cells, "image_id": pdf["image_id"], "order_": order}
+        for rb in batches:
+            names = rb.schema.names
+            cells = rb.column(names.index("cell_id")).to_numpy(zero_copy_only=False)
+            n = len(cells)
+            if n == 0:
+                continue
+            starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
+            ends = np.r_[starts[1:], n]
+            run_id = np.zeros(n, dtype=np.int64)
+            run_id[starts] = 1
+            np.cumsum(run_id, out=run_id)
+            run_id -= 1
+            pos_in_run = np.arange(n, dtype=np.int64) - starts[run_id]
+            bases = np.empty(len(starts), dtype=np.int64)
+            for r in range(len(starts)):
+                cid = int(cells[starts[r]])
+                b = seen.get(cid)
+                if b is None:
+                    b = off.get((pid, cid), 0)
+                bases[r] = b
+                seen[cid] = b + int(ends[r] - starts[r])
+            order = (bases[run_id] + pos_in_run + 1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(names.index("cell_id")),
+                    rb.column(names.index("image_id")),
+                    pa.array(order, type=pa.int32()),
+                ],
+                names=["cell_id", "image_id", "order_"],
             )
 
-    return rp.mapInPandas(assign, schema="cell_id long, image_id string, order_ int")
+    return rp.mapInArrow(assign, schema="cell_id long, image_id string, order_ int")
 
 
 def write_indexed(points: DataFrame, path: str, res: int = 7, buckets: int = 64) -> None:

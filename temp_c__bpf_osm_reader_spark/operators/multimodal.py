@@ -60,6 +60,51 @@ def decode_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 8
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas: each image row is
+    treated as a frame sequence (h frames of w samples — the video analogue);
+    every `stride`-th frame is emitted with its exact sum and mean.
+
+    → (image_id, frame_idx, frame_sum, frame_mean) with frame_mean =
+    frame_sum / w (pure IEEE division — bit-equal to the pure-Python golden).
+    mapInPandas because the op is 1→many rows (frames per image); decode stays
+    per-image numpy like the rest of the codec family."""
+    n = fixtures.n_images_for_sf(sf_dir)
+    images = spark.read.parquet(fixtures.ensure_images(n)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, sums, means = [], [], [], []
+            wv, hv, fv = pdf["w"].to_numpy(), pdf["h"].to_numpy(), pdf["fmt"].to_numpy()
+            data = pdf["bytes"]
+            for i in range(len(pdf)):
+                w, h = int(wv[i]), int(hv[i])
+                px = codec.decode(data.iloc[i], w, h, str(fv[i])).reshape(h, w)
+                frames = px[::stride]
+                fsum = frames.sum(axis=1, dtype=np.int64)
+                ids.extend([pdf["image_id"].iloc[i]] * len(fsum))
+                idxs.extend(range(0, h, stride))
+                sums.extend(fsum.tolist())
+                means.extend((fsum / float(w)).tolist())
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(ids, dtype=object),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return images.mapInPandas(
+        gen, schema="image_id string, frame_idx int, frame_sum long, frame_mean double"
+    )
+
+
 def block_mean_features(spark: SparkSession, sf_dir: str, grid: int = 4) -> DataFrame:
     """Feature extraction: per-image grid×grid block-mean vector (the
     resize/feature step of an image pipeline) → (image_id, features array)."""

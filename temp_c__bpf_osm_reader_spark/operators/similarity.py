@@ -29,6 +29,8 @@ NEAR_DUP_TAU = 0.4
 SRP_BITS = 16
 SRP_DIM = 64
 SRP_SEED = 1234
+IVF_CENTROID_MOD = 50  # centroids = the deterministic sample vec_id % 50 == 1
+IVF_NPROBE = 3
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +87,76 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = NEAR_DUP_TAU) 
         .withColumn("sim", sim)
         .filter(F.col("sim") >= tau)
         .select("vec1", "vec2", "sim")
+    )
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_K,
+    query_mod: int = 20,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-flat approximate top-k: vectors partition into Voronoi lists of a
+    deterministic centroid sample; queries probe their `nprobe` nearest lists.
+
+    The second ANN scale path (complementing SRP-LSH): at 10^12 scale the
+    centroid list stays driver-small (one per ~50 vectors here; one per
+    million there), `centroid_id` becomes the partition/cluster key, and each
+    probe is a broadcast equi-join into a bounded list. Recall < 1 by
+    construction → rows-only driver check, like ann_topk_srp.
+
+    Ties are pinned (stable argsort, argmax-first) so output is deterministic
+    across runs and parallelism levels.
+    """
+    base = _with_norm(_emb(spark, sf_dir))
+    crows = (
+        base.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1)
+        .select("vec_id", "v", "norm")
+        .collect()
+    )
+    cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((cids, cmat))
+
+    @F.pandas_udf(T.LongType())
+    def assign_udf(v: pd.Series) -> pd.Series:
+        ids, mat = bc.value
+        m = np.stack(v.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(ids[np.argmax(m @ mat.T, axis=1)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def probe_udf(v: pd.Series) -> pd.Series:
+        ids, mat = bc.value
+        m = np.stack(v.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        top = np.argsort(-(m @ mat.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([ids[row].tolist() for row in top])
+
+    lists = base.withColumn("centroid_id", assign_udf(F.col("v")))
+    queries = (
+        base.filter(F.col("vec_id") % query_mod == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(probe_udf(F.col("v"))).alias("centroid_id"),
+        )
+    )
+    cand = lists.select(
+        F.col("vec_id").alias("neighbor_id"), "v", "norm", "centroid_id"
+    ).join(F.broadcast(queries), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = F.round(_cos_expr("qv", "v", "qnorm", "norm"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "sim")
     )
 
 

@@ -167,6 +167,33 @@ def ensure_golden_decode(n: int) -> str:
     return p
 
 
+def ensure_golden_frames(n: int, stride: int = 8) -> str:
+    """(image_id, frame_idx, frame_sum, frame_mean) for every stride-th row
+    ("frame") of every image — plain-python decode + integer sums, an
+    independent twin of operators/multimodal.frame_sample."""
+    p = os.path.join(fixtures.DATA_DIR, f"golden_frames_{n}_{stride}.parquet")
+    if not os.path.exists(p):
+        images = pd.read_parquet(fixtures.ensure_images(n))
+        rows = []
+        for _, r in images.iterrows():
+            data = r["bytes"]
+            if r["fmt"] == "raw":
+                px = list(data)
+            else:  # rle scalar decode, same as ensure_golden_decode
+                px = []
+                for i in range(0, len(data), 2):
+                    px.extend([data[i + 1]] * data[i])
+            w, h = int(r["w"]), int(r["h"])
+            for fr in range(0, h, stride):
+                fs = sum(px[fr * w : (fr + 1) * w])
+                rows.append((r["image_id"], fr, fs, fs / float(w)))
+        out = pd.DataFrame(
+            rows, columns=["image_id", "frame_idx", "frame_sum", "frame_mean"]
+        ).astype({"frame_idx": "int32", "frame_sum": "int64", "frame_mean": "float64"})
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
 # ---------------------------------------------------------------- corrupt EAV fixture
 
 def ensure_meta_corrupt(n: int) -> str:
