@@ -60,6 +60,86 @@ def decode_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def block_features_flat(spark: SparkSession, sf_dir: str, grid: int = 4) -> DataFrame:
+    """block_mean_features exploded to (image_id, feat_idx, value) — the
+    oracle-checkable flat form (value-hash over scalar columns; the array
+    variant stays for consumers that want vectors). value = block_sum / (bh*bw)
+    with an exact integer numerator, so the pure-Python golden twin
+    (sources/fixtures_text.ensure_golden_blockmeans) reproduces it bit-for-bit."""
+    n = fixtures.n_images_for_sf(sf_dir)
+    images = spark.read.parquet(fixtures.ensure_images(n)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            wv, hv, fv = pdf["w"].to_numpy(), pdf["h"].to_numpy(), pdf["fmt"].to_numpy()
+            data = pdf["bytes"]
+            for i in range(len(pdf)):
+                w, h = int(wv[i]), int(hv[i])
+                px = codec.decode(data.iloc[i], w, h, str(fv[i]))
+                bh, bw = h // grid, w // grid
+                sums = (
+                    px.reshape(grid, bh, grid, bw)
+                    .sum(axis=(1, 3), dtype=np.int64)
+                    .ravel()
+                )
+                ids.extend([pdf["image_id"].iloc[i]] * (grid * grid))
+                idxs.extend(range(grid * grid))
+                vals.extend((sums / float(bh * bw)).tolist())
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(ids, dtype=object),
+                    "feat_idx": pd.Series(idxs, dtype="int32"),
+                    "value": pd.Series(vals, dtype="float64"),
+                }
+            )
+
+    return images.mapInPandas(gen, schema="image_id string, feat_idx int, value double")
+
+
+RESIZE_TO = 8
+
+
+def resize_nn(spark: SparkSession, sf_dir: str, size: int = RESIZE_TO) -> DataFrame:
+    """Nearest-neighbor resize of every payload to size×size (the canonical
+    image-pipeline resize step, pure numpy gather — no image libs needed) →
+    (image_id, r_sum, r_phash): exact pixel sum + phash of the resized image.
+
+    Frozen sampling spec: source index for output i = floor(i * h / size)
+    (top-left rule). Compact outputs keep the oracle scalar while the full
+    resized tensor shape is covered by the golden twin's identical walk."""
+    n = fixtures.n_images_for_sf(sf_dir)
+    images = spark.read.parquet(fixtures.ensure_images(n)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sums, phs = [], [], []
+            wv, hv, fv = pdf["w"].to_numpy(), pdf["h"].to_numpy(), pdf["fmt"].to_numpy()
+            data = pdf["bytes"]
+            for i in range(len(pdf)):
+                w, h = int(wv[i]), int(hv[i])
+                px = codec.decode(data.iloc[i], w, h, str(fv[i])).reshape(h, w)
+                ri = (np.arange(size) * h) // size
+                rj = (np.arange(size) * w) // size
+                small = px[np.ix_(ri, rj)]
+                ids.append(pdf["image_id"].iloc[i])
+                sums.append(int(small.sum(dtype=np.int64)))
+                phs.append(phash64(small.ravel(), size, size))
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(ids, dtype=object),
+                    "r_sum": pd.Series(sums, dtype="int64"),
+                    "r_phash": pd.Series(phs, dtype="int64"),
+                }
+            )
+
+    return images.mapInPandas(gen, schema="image_id string, r_sum long, r_phash long")
+
+
 FRAME_STRIDE = 8
 
 

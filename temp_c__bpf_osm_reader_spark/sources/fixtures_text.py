@@ -167,6 +167,71 @@ def ensure_golden_decode(n: int) -> str:
     return p
 
 
+def ensure_golden_blockmeans(n: int, grid: int = 4) -> str:
+    """(image_id, feat_idx, value) grid×grid block means — plain-python twin
+    of operators/multimodal.block_features_flat (exact integer block sums,
+    then one IEEE division)."""
+    p = os.path.join(fixtures.DATA_DIR, f"golden_blockmeans_{n}_{grid}.parquet")
+    if not os.path.exists(p):
+        images = pd.read_parquet(fixtures.ensure_images(n))
+        rows = []
+        for _, r in images.iterrows():
+            data = r["bytes"]
+            if r["fmt"] == "raw":
+                px = list(data)
+            else:
+                px = []
+                for i in range(0, len(data), 2):
+                    px.extend([data[i + 1]] * data[i])
+            w, h = int(r["w"]), int(r["h"])
+            bh, bw = h // grid, w // grid
+            for bi in range(grid):
+                for bj in range(grid):
+                    s = 0
+                    for rr in range(bi * bh, (bi + 1) * bh):
+                        s += sum(px[rr * w + bj * bw : rr * w + (bj + 1) * bw])
+                    rows.append((r["image_id"], bi * grid + bj, s / float(bh * bw)))
+        out = pd.DataFrame(rows, columns=["image_id", "feat_idx", "value"]).astype(
+            {"feat_idx": "int32", "value": "float64"}
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
+def ensure_golden_resize(n: int, size: int = 8) -> str:
+    """(image_id, r_sum, r_phash) — plain-python nearest-neighbor resize
+    (source idx = floor(i*h/size), top-left rule), twin of multimodal.resize_nn."""
+    p = os.path.join(fixtures.DATA_DIR, f"golden_resize_{n}_{size}.parquet")
+    if not os.path.exists(p):
+        import numpy as np
+
+        from ..functions.hashing import phash64
+
+        images = pd.read_parquet(fixtures.ensure_images(n))
+        rows = []
+        for _, r in images.iterrows():
+            data = r["bytes"]
+            if r["fmt"] == "raw":
+                px = list(data)
+            else:
+                px = []
+                for i in range(0, len(data), 2):
+                    px.extend([data[i + 1]] * data[i])
+            w, h = int(r["w"]), int(r["h"])
+            small = [
+                px[((bi * h) // size) * w + (bj * w) // size]
+                for bi in range(size)
+                for bj in range(size)
+            ]
+            ph = phash64(np.array(small, dtype=np.uint8), size, size)
+            rows.append((r["image_id"], sum(small), ph))
+        out = pd.DataFrame(rows, columns=["image_id", "r_sum", "r_phash"]).astype(
+            {"r_sum": "int64", "r_phash": "int64"}
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
 def ensure_golden_frames(n: int, stride: int = 8) -> str:
     """(image_id, frame_idx, frame_sum, frame_mean) for every stride-th row
     ("frame") of every image — plain-python decode + integer sums, an
