@@ -71,3 +71,28 @@ def test_partial_aggregation_before_shuffle(spark):
 def test_ann_brute_force_broadcasts_queries(spark):
     plan = _plan(similarity.ann_topk_bruteforce(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark):
+    """As-of resolves via ONE hash exchange on the equi key + a window —
+    never a broadcast-nested-loop over the inequality (temporal.py design)."""
+    from temp_c__bpf_osm_reader_spark.operators import temporal
+
+    df = temporal.asof_purchase_view(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join_on_bins(spark):
+    """The bounded range join must meet on the (user_id, bin) equi key with
+    the time predicate as a residual filter — not a nested loop."""
+    from temp_c__bpf_osm_reader_spark.operators import temporal
+
+    df = temporal.event_pairs_window(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bin" in plan and ("HashJoin" in plan or "SortMergeJoin" in plan)
