@@ -46,8 +46,16 @@ def lineage_metrics(df: DataFrame) -> DataFrame:
 
 
 class SnapshotPipeline:
-    """run_stage(name, fn) computes fn() once, commits it, and on any later
-    run (same root) serves the committed snapshot instead of recomputing."""
+    """run_stage(name, fn) computes fn() once, commits it as a versioned
+    snapshot, and on any later run (same root) serves the current snapshot
+    instead of recomputing. Iceberg-analogue surface:
+
+      * every commit is snapshot version N with data-vN/ + manifest-vN.json;
+        `CURRENT` (atomically replaced) points at the live version;
+      * run_stage(..., overwrite=True) appends version N+1 — old snapshots
+        stay readable (time travel: read_stage(name, version=K));
+      * rollback(name, K) repoints CURRENT without touching data.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -57,8 +65,35 @@ class SnapshotPipeline:
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def manifest(self, name: str) -> dict | None:
-        p = os.path.join(self._stage_dir(name), MANIFEST)
+    def current_version(self, name: str) -> int | None:
+        p = os.path.join(self._stage_dir(name), "CURRENT")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        # pre-versioning layout (data/ + _MANIFEST.json) reads as version 0
+        if os.path.exists(os.path.join(self._stage_dir(name), MANIFEST)):
+            return 0
+        return None
+
+    def _paths(self, name: str, version: int) -> tuple[str, str, str]:
+        sdir = self._stage_dir(name)
+        if version == 0 and not os.path.exists(os.path.join(sdir, "data-v0")):
+            return (  # legacy unversioned layout
+                os.path.join(sdir, "data"),
+                os.path.join(sdir, "lineage"),
+                os.path.join(sdir, MANIFEST),
+            )
+        return (
+            os.path.join(sdir, f"data-v{version}"),
+            os.path.join(sdir, f"lineage-v{version}"),
+            os.path.join(sdir, f"manifest-v{version}.json"),
+        )
+
+    def manifest(self, name: str, version: int | None = None) -> dict | None:
+        v = self.current_version(name) if version is None else version
+        if v is None:
+            return None
+        p = self._paths(name, v)[2]
         if os.path.exists(p):
             with open(p) as f:
                 return json.load(f)
@@ -67,11 +102,44 @@ class SnapshotPipeline:
     def is_committed(self, name: str) -> bool:
         return self.manifest(name) is not None
 
-    def run_stage(self, name: str, fn, partition_by: str | None = None) -> DataFrame:
+    def read_stage(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to a pinned version."""
+        v = self.current_version(name) if version is None else version
+        if v is None or self.manifest(name, v) is None:
+            raise FileNotFoundError(f"stage {name!r} has no committed version {version!r}")
+        return self.spark.read.parquet(self._paths(name, v)[0])
+
+    def rollback(self, name: str, version: int) -> None:
+        """Repoint CURRENT at an older snapshot (metadata-only, atomic)."""
+        if self.manifest(name, version) is None:
+            raise FileNotFoundError(f"stage {name!r} has no version {version}")
+        self._set_current(name, version)
+
+    def _set_current(self, name: str, version: int) -> None:
         sdir = self._stage_dir(name)
-        data_dir = os.path.join(sdir, "data")
-        if self.is_committed(name):
-            return self.spark.read.parquet(data_dir)
+        tmp = os.path.join(sdir, "CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(sdir, "CURRENT"))
+
+    def run_stage(
+        self,
+        name: str,
+        fn,
+        partition_by: str | None = None,
+        overwrite: bool = False,
+    ) -> DataFrame:
+        cur = self.current_version(name)
+        if cur is not None and not overwrite:
+            return self.read_stage(name, cur)
+        version = 0 if cur is None else cur + 1
+        sdir = self._stage_dir(name)
+        os.makedirs(sdir, exist_ok=True)
+        data_dir, lineage_dir, manifest_path = (
+            os.path.join(sdir, f"data-v{version}"),
+            os.path.join(sdir, f"lineage-v{version}"),
+            os.path.join(sdir, f"manifest-v{version}.json"),
+        )
 
         t0 = time.time()
         df = fn()
@@ -82,18 +150,19 @@ class SnapshotPipeline:
 
         written = self.spark.read.parquet(data_dir)
         metrics = lineage_metrics(written)
-        metrics.write.mode("overwrite").parquet(os.path.join(sdir, "lineage"))
+        metrics.write.mode("overwrite").parquet(lineage_dir)
         agg = metrics.agg(
             F.sum("row_count").alias("rows"),
             F.sum("checksum").alias("checksum"),
             F.count(F.lit(1)).alias("n_partitions"),
         ).collect()[0]
 
-        tmp = os.path.join(sdir, MANIFEST + ".tmp")
+        tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {
                     "stage": name,
+                    "version": version,
                     "rows": int(agg["rows"] or 0),
                     "checksum": int(agg["checksum"] or 0),
                     "n_partitions": int(agg["n_partitions"]),
@@ -101,16 +170,18 @@ class SnapshotPipeline:
                 },
                 f,
             )
-        os.replace(tmp, os.path.join(sdir, MANIFEST))  # atomic commit
+        os.replace(tmp, manifest_path)  # commit the snapshot...
+        self._set_current(name, version)  # ...then swap the pointer (atomic)
         return written
 
-    def verify_stage(self, name: str) -> bool:
+    def verify_stage(self, name: str, version: int | None = None) -> bool:
         """Re-derive the lineage totals from the committed data and compare
         against the manifest (count-consistency invariant, readosm.c:872-903)."""
-        m = self.manifest(name)
+        v = self.current_version(name) if version is None else version
+        m = self.manifest(name, v)
         if m is None:
             return False
-        df = self.spark.read.parquet(os.path.join(self._stage_dir(name), "data"))
+        df = self.spark.read.parquet(self._paths(name, v)[0])
         agg = lineage_metrics(df).agg(
             F.sum("row_count").alias("rows"), F.sum("checksum").alias("checksum")
         ).collect()[0]

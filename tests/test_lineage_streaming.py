@@ -35,8 +35,29 @@ def test_snapshot_commit_and_resume(spark, fx, tmp_path):
     # lineage totals re-derivable from the committed data
     assert p.verify_stage("cells")
     # lineage rows sum to input count (count-consistency invariant)
-    lm = spark.read.parquet(os.path.join(root, "cells", "lineage"))
+    lm = spark.read.parquet(os.path.join(root, "cells", "lineage-v0"))
     assert lm.agg(F.sum("row_count")).collect()[0][0] == 1060
+
+
+def test_snapshot_versioning_time_travel_rollback(spark, tmp_path):
+    root = str(tmp_path / "pipe_v")
+    p = SnapshotPipeline(spark, root)
+
+    p.run_stage("t", lambda: spark.range(10).select(F.col("id")))
+    assert p.current_version("t") == 0
+    # overwrite commits v1; v0 stays readable (time travel)
+    p.run_stage("t", lambda: spark.range(25).select(F.col("id")), overwrite=True)
+    assert p.current_version("t") == 1
+    assert p.read_stage("t").count() == 25
+    assert p.read_stage("t", version=0).count() == 10
+    assert p.manifest("t", 0)["rows"] == 10 and p.manifest("t", 1)["rows"] == 25
+    assert p.verify_stage("t", 0) and p.verify_stage("t", 1)
+    # rollback is metadata-only: CURRENT repoints, data untouched
+    p.rollback("t", 0)
+    assert p.current_version("t") == 0
+    assert p.read_stage("t").count() == 10
+    # a non-overwrite run now serves the rolled-back snapshot, no recompute
+    assert p.run_stage("t", lambda: (_ for _ in ()).throw(AssertionError)).count() == 10
 
 
 def test_lineage_checksum_parallelism_invariant(spark, fx):
@@ -79,3 +100,21 @@ def test_stateful_user_totals_equals_batch(spark):
         .sort_values("user_id", ignore_index=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_salted_repartition_spreads_hot_key(spark):
+    from temp_c__bpf_osm_reader_spark.operators import skew
+
+    # one hot key with 5000 rows, a few cold keys
+    df = spark.range(5500).select(
+        F.when(F.col("id") < 5000, F.lit(7)).otherwise(F.col("id")).alias("cell_id"),
+        F.col("id").alias("image_id"),
+    )
+    parts = (
+        skew.salted_repartition(df, "cell_id", salt=8, num_partitions=8)
+        .filter(F.col("cell_id") == 7)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1  # the hot key spans multiple partitions
