@@ -152,6 +152,9 @@ def main() -> None:
         "token_stats",
         "decode_integrity",
         "cell_counts_salted",
+        "asof_purchase_view",
+        "xml_nodes",
+        "resize_nn",
     ]
     timings: dict[str, float] = {}
     n_images = fixtures.n_images_for_sf(sf_dir)

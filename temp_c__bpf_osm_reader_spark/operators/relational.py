@@ -26,6 +26,25 @@ def _cents(col) -> F.Column:
     return F.round(col * 100).cast("bigint")
 
 
+# ------------------------------------------------------- D11: typed-member dispatch
+
+def typed_members(spark: SparkSession, sf_dir: str, collections_path: str) -> DataFrame:
+    """Wire-form members (collection_id, order_, member_type, member_ref, role)
+    → the rel_mem-shaped sparse table (pbf2sqlite.c:811-857 dispatch;
+    FIXTURES.md §4): exactly one of image_id/polygon_id/sub_collection_id
+    non-null per row, image refs resolved to their string ids."""
+    mem = spark.read.parquet(collections_path)
+    t = F.col("member_type")
+    return mem.select(
+        "collection_id",
+        F.col("order_").cast("int").alias("order_"),
+        F.when(t == 0, F.format_string("img_%07d", F.col("member_ref"))).alias("image_id"),
+        F.when(t == 1, F.col("member_ref")).alias("polygon_id"),
+        F.when(t == 2, F.col("member_ref")).alias("sub_collection_id"),
+        "role",
+    )
+
+
 # ---------------------------------------------------------------- Q4/Q1: hash agg
 
 def q1_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

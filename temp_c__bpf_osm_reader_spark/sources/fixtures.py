@@ -226,3 +226,36 @@ def ensure_all_for_sf(sf_dir: str) -> dict[str, str]:
         "golden_pip": ensure_golden_pip(n, m),
         "golden_knn": ensure_golden_knn(n),
     }
+
+
+def collections_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"collections_{n}.parquet")
+
+
+def ensure_collections(n: int) -> str:
+    """Wire-form typed-membership fixture — the rel_mem analogue
+    (pbf2sqlite.c:430-439; member-type enum osmformat.proto:245-249):
+    (collection_id, order_, member_type {0=image,1=polygon,2=collection},
+    member_ref, role). The engine's D11 dispatch routes member_ref into
+    sparse typed columns; roles cycle like OSM's outer/inner/label."""
+    p = collections_path(n)
+    if not os.path.exists(p):
+        m = n_polygons_for(n)
+        n_coll = max(n // 80, 3)
+        roles = ["outer", "inner", "label"]
+        rows = []
+        for c in range(n_coll):
+            order = 0
+            for i in range(3):  # image members
+                rows.append((c, order, 0, (c * 7 + i * 13) % n, roles[i % 3]))
+                order += 1
+            rows.append((c, order, 1, c % m, "outer"))  # polygon member
+            order += 1
+            if c > 0:  # nested collection member
+                rows.append((c, order, 2, c - 1, "child"))
+        pdf = pd.DataFrame(
+            rows, columns=["collection_id", "order_", "member_type", "member_ref", "role"]
+        ).astype({"collection_id": "int64", "order_": "int32", "member_type": "int32",
+                  "member_ref": "int64"})
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+    return p
