@@ -33,6 +33,15 @@ def main() -> None:
     ap.add_argument("--skip-knn", action="store_true")
     ap.add_argument("--skip-decode", action="store_true")
     ap.add_argument(
+        "--partitions",
+        type=int,
+        default=None,
+        help="pin the partition count (default cores*4). The N-vs-4N scaling "
+        "runs pass the same value at both levels: on a real cluster the "
+        "partitioning follows the data, not the cluster size, so the small "
+        "cluster must not get a smaller task graph",
+    )
+    ap.add_argument(
         "--snapshot-dir",
         default=None,
         help="run the pipeline as snapshot-committed stages with per-partition "
@@ -44,8 +53,11 @@ def main() -> None:
     from temp_c__bpf_osm_reader_spark.operators import decode, indexing, knn, spatial_join
     from temp_c__bpf_osm_reader_spark.sources import fixtures
 
+    n_parts = args.partitions or args.cores * 4
     fx = fixtures.ensure_all_for_sf(args.sf_dir)
-    spark = get_spark(app="flagship", cores=args.cores)
+    spark = get_spark(
+        app="flagship", cores=args.cores, shuffle_partitions=args.partitions
+    )
     t_all = time.time()
     timings: dict[str, float] = {}
 
@@ -66,15 +78,13 @@ def main() -> None:
         )
     # crossJoin inherits the (tiny) range-side partitioning → rep-level skew;
     # rebalance so task count scales with cores, as it would on a real cluster
-    images = images.repartition(args.cores * 4).cache()
+    images = images.repartition(n_parts).cache()
     n_points = images.count()  # warmup: scan + cache fill, excluded from timing
 
     # warm the Python worker pool (fork + numpy/pyarrow/package import along
     # the real geolocate path) — a cluster amortizes this over the job's
     # lifetime; excluded from steady-state timing
-    indexing.geolocate(
-        images.limit(args.cores * 8).repartition(args.cores * 4)
-    ).count()
+    indexing.geolocate(images.limit(n_parts * 2).repartition(n_parts)).count()
 
     # ---- timed steady-state spatial pipeline: geolocate → cells → tiles → PIP
     t0 = time.time()
@@ -84,7 +94,7 @@ def main() -> None:
     timings["geolocate"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    tiles = indexing.tile_assignment_scalable(points, 7)
+    tiles = indexing.tile_assignment_scalable(points, 7, partitions=n_parts)
     checksum, n_tiles = tiles.select(
         F.sum(F.hash("cell_id", "image_id", "order_").cast("bigint")).alias("s"),
         F.count(F.lit(1)).alias("n"),

@@ -225,6 +225,27 @@ def tile_assignment_scalable(
     return rp.mapInArrow(assign, schema="cell_id long, image_id string, order_ int")
 
 
+def write_partitioned(
+    points: DataFrame, path: str, parent_res: int = 3, res: int = 7
+) -> None:
+    """Hive-partitioned layout keyed by the COARSE cell (the hierarchy's
+    parent, 128 directories at res 3) with fine-cell clustering inside each —
+    so a cell predicate prunes directories at planning time (Catalyst
+    partition pruning, the §4 'header skip' analogue) and the fine sort gives
+    row-group skipping within. The res-3 parent of a res-7 cell is pure bit
+    arithmetic on lat/lon, so both keys derive from the same columns."""
+    pts = points.withColumn(
+        "p_cell", grid_cell_col(F.col("lat"), F.col("lon"), parent_res)
+    )
+    (
+        pts.repartition(F.col("p_cell"))
+        .sortWithinPartitions("p_cell", f"cell_r{res}", "image_id")
+        .write.mode("overwrite")
+        .partitionBy("p_cell")
+        .parquet(path)
+    )
+
+
 def write_indexed(points: DataFrame, path: str, res: int = 7, buckets: int = 64) -> None:
     """Physical 'index build': cluster by cell, sort within partitions —
     the Spark replacement for the reference's post-load B-tree indexes

@@ -96,3 +96,24 @@ def test_range_join_is_equi_join_on_bins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "bin" in plan and ("HashJoin" in plan or "SortMergeJoin" in plan)
+
+
+def test_partitioned_layout_prunes_directories(spark, fx, tmp_path):
+    """write_partitioned + a parent-cell predicate → Catalyst reads only the
+    matching partition directories (partition pruning, SURVEY §4)."""
+    from temp_c__bpf_osm_reader_spark.operators import indexing
+
+    pts = indexing.with_cells(
+        indexing.geolocate(spark.read.parquet(fx["images"])), resolutions=(7,), zlevel=0
+    )
+    path = str(tmp_path / "bycell")
+    indexing.write_partitioned(pts, path)
+    back = spark.read.parquet(path)
+    some_cell = back.select("p_cell").first()["p_cell"]
+    pruned = back.filter(F.col("p_cell") == some_cell)
+    plan = _plan(pruned)
+    # the predicate lands in PartitionFilters (planning-time directory skip),
+    # NOT in the data filters / PushedFilters
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and f"= {some_cell}" in pf[0].replace("L", ""), pf
+    assert 0 < pruned.count() < back.count()
