@@ -129,7 +129,10 @@ def main() -> None:
         stage_names = ("points", "tiles", "pip")
         resumed = {name: sp.is_committed(name) for name in stage_names}
         pts_s = sp.run_stage("points", lambda: points)
-        sp.run_stage("tiles", lambda: indexing.tile_assignment_scalable(pts_s, 7))
+        sp.run_stage(
+            "tiles",
+            lambda: indexing.tile_assignment_scalable(pts_s, 7, partitions=n_parts),
+        )
         sp.run_stage("pip", lambda: spatial_join.pip_join(pts_s, polys))
         snapshot = {
             "resumed": resumed,

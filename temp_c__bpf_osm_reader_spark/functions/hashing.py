@@ -51,6 +51,12 @@ def fnv1a64_str_array(strs) -> np.ndarray:
 
     if isinstance(strs, pa.Array):
         arr = strs  # Arrow-native callers (mapInArrow): zero conversion
+        if pa.types.is_large_string(arr.type):
+            # large_string has int64 offsets — the int32 view below would
+            # silently misread them; normalize first
+            arr = arr.cast(pa.string())
+        elif not pa.types.is_string(arr.type):
+            raise TypeError(f"fnv1a64_str_array: expected string array, got {arr.type}")
     else:
         arr = pa.array(strs, type=pa.string())
     if arr.null_count:

@@ -113,6 +113,7 @@ def ann_topk_ivf(
     crows = (
         base.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1)
         .select("vec_id", "v", "norm")
+        .orderBy("vec_id")  # pinned centroid order → ties break identically
         .collect()
     )
     cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)

@@ -44,7 +44,9 @@ def asof_join(
     `ts` ≤ left.`ts` (DuckDB `ASOF LEFT JOIN` semantics; ties on ts resolve to
     the right side, matching `right.ts <= left.ts`).
 
-    → left columns + (right_id, right_ts); right_* NULL when no match.
+    → (key, ts, id_col, right_id, right_ts); right_* NULL when no match.
+    Only the key/ts/id triple is carried — join other left columns back on
+    `id_col` afterwards.
     Single shuffle on `key`; the window's running `last` carries the most
     recent right row forward — no per-row candidate expansion.
     """

@@ -115,6 +115,18 @@ class SnapshotPipeline:
             raise FileNotFoundError(f"stage {name!r} has no version {version}")
         self._set_current(name, version)
 
+    def _versions(self, name: str) -> list[int]:
+        sdir = self._stage_dir(name)
+        if not os.path.isdir(sdir):
+            return []
+        out = []
+        for fn in os.listdir(sdir):
+            if fn.startswith("manifest-v") and fn.endswith(".json"):
+                out.append(int(fn[len("manifest-v") : -len(".json")]))
+        if os.path.exists(os.path.join(sdir, MANIFEST)):
+            out.append(0)  # legacy unversioned layout
+        return out
+
     def _set_current(self, name: str, version: int) -> None:
         sdir = self._stage_dir(name)
         tmp = os.path.join(sdir, "CURRENT.tmp")
@@ -132,7 +144,10 @@ class SnapshotPipeline:
         cur = self.current_version(name)
         if cur is not None and not overwrite:
             return self.read_stage(name, cur)
-        version = 0 if cur is None else cur + 1
+        # next version = max existing + 1 (NOT current + 1: after a rollback
+        # CURRENT points at an old snapshot and current+1 would clobber a
+        # committed one, breaking time travel)
+        version = 0 if cur is None else max(self._versions(name), default=cur) + 1
         sdir = self._stage_dir(name)
         os.makedirs(sdir, exist_ok=True)
         data_dir, lineage_dir, manifest_path = (

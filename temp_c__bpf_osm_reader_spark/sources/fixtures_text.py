@@ -138,6 +138,17 @@ def ensure_golden_simhash(sf_dir: str, max_hamming: int = 6) -> str:
 
 # ---------------------------------------------------------------- decode golden
 
+def _decode_px(data: bytes, fmt: str) -> list[int]:
+    """Scalar (numpy-free) payload decode shared by all golden builders —
+    the independent second code path vs functions/codec.py."""
+    if fmt == "raw":
+        return list(data)
+    px: list[int] = []  # rle: (count, value) pairs
+    for i in range(0, len(data), 2):
+        px.extend([data[i + 1]] * data[i])
+    return px
+
+
 def ensure_golden_decode(n: int) -> str:
     """(image_id, fmt, pix_sum, phash_dec) via plain-python RLE walk + the
     batch phash kernel — validates the Spark decode path end-to-end."""
@@ -150,13 +161,7 @@ def ensure_golden_decode(n: int) -> str:
         images = pd.read_parquet(fixtures.ensure_images(n))
         rows = []
         for _, r in images.iterrows():
-            data = r["bytes"]
-            if r["fmt"] == "raw":
-                px = list(data)
-            else:  # rle: (count, value) pairs — independent scalar decoder
-                px = []
-                for i in range(0, len(data), 2):
-                    px.extend([data[i + 1]] * data[i])
+            px = _decode_px(r["bytes"], r["fmt"])
             assert len(px) == r["w"] * r["h"]
             ph = phash64(np.array(px, dtype=np.uint8), int(r["w"]), int(r["h"]))
             rows.append((r["image_id"], r["fmt"], sum(px), ph))
@@ -176,13 +181,7 @@ def ensure_golden_blockmeans(n: int, grid: int = 4) -> str:
         images = pd.read_parquet(fixtures.ensure_images(n))
         rows = []
         for _, r in images.iterrows():
-            data = r["bytes"]
-            if r["fmt"] == "raw":
-                px = list(data)
-            else:
-                px = []
-                for i in range(0, len(data), 2):
-                    px.extend([data[i + 1]] * data[i])
+            px = _decode_px(r["bytes"], r["fmt"])
             w, h = int(r["w"]), int(r["h"])
             bh, bw = h // grid, w // grid
             for bi in range(grid):
@@ -210,13 +209,7 @@ def ensure_golden_resize(n: int, size: int = 8) -> str:
         images = pd.read_parquet(fixtures.ensure_images(n))
         rows = []
         for _, r in images.iterrows():
-            data = r["bytes"]
-            if r["fmt"] == "raw":
-                px = list(data)
-            else:
-                px = []
-                for i in range(0, len(data), 2):
-                    px.extend([data[i + 1]] * data[i])
+            px = _decode_px(r["bytes"], r["fmt"])
             w, h = int(r["w"]), int(r["h"])
             small = [
                 px[((bi * h) // size) * w + (bj * w) // size]
@@ -241,13 +234,7 @@ def ensure_golden_frames(n: int, stride: int = 8) -> str:
         images = pd.read_parquet(fixtures.ensure_images(n))
         rows = []
         for _, r in images.iterrows():
-            data = r["bytes"]
-            if r["fmt"] == "raw":
-                px = list(data)
-            else:  # rle scalar decode, same as ensure_golden_decode
-                px = []
-                for i in range(0, len(data), 2):
-                    px.extend([data[i + 1]] * data[i])
+            px = _decode_px(r["bytes"], r["fmt"])
             w, h = int(r["w"]), int(r["h"])
             for fr in range(0, h, stride):
                 fs = sum(px[fr * w : (fr + 1) * w])

@@ -34,7 +34,13 @@ from .blocks import BLOCK_SZ, SCALE, caption_tags
 
 
 def write_osm_xml(images: pd.DataFrame, out_dir: str, per_file: int = BLOCK_SZ) -> str:
-    """images table → sharded .osm files with the blocks fixture's entities."""
+    """images table → sharded .osm files with the blocks fixture's entities.
+
+    Attribute values are quoteattr-escaped (captions carry non-ASCII and may
+    carry &/</\") and files are written as UTF-8 explicitly — the declared
+    encoding must not depend on the process locale."""
+    from xml.sax.saxutils import quoteattr
+
     os.makedirs(out_dir, exist_ok=True)
     n = len(images)
     lat, lon = latlon_from_phash(images["phash"].to_numpy(), images["image_id"].to_numpy())
@@ -48,13 +54,15 @@ def write_osm_xml(images: pd.DataFrame, out_dir: str, per_file: int = BLOCK_SZ) 
         for i in range(b0, b1):
             parts.append(
                 f'  <node id="{i}" lat="{lat_i[i] / SCALE:.7f}" '
-                f'lon="{lon_i[i] / SCALE:.7f}" user="{ids[i]}">\n'
+                f'lon="{lon_i[i] / SCALE:.7f}" user={quoteattr(str(ids[i]))}>\n'
             )
             for k, v in caption_tags(caps[i]):
-                parts.append(f'    <tag k="{k}" v="{v}"/>\n')
+                parts.append(f"    <tag k={quoteattr(k)} v={quoteattr(v)}/>\n")
             parts.append("  </node>\n")
         parts.append("</osm>\n")
-        with open(os.path.join(out_dir, f"part-{b0 // per_file:05d}.osm"), "w") as f:
+        with open(
+            os.path.join(out_dir, f"part-{b0 // per_file:05d}.osm"), "w", encoding="utf-8"
+        ) as f:
             f.write("".join(parts))
     return out_dir
 

@@ -58,6 +58,11 @@ def test_snapshot_versioning_time_travel_rollback(spark, tmp_path):
     assert p.read_stage("t").count() == 10
     # a non-overwrite run now serves the rolled-back snapshot, no recompute
     assert p.run_stage("t", lambda: (_ for _ in ()).throw(AssertionError)).count() == 10
+    # overwrite after rollback must NOT clobber v1 — next version is max+1
+    p.run_stage("t", lambda: spark.range(7).select(F.col("id")), overwrite=True)
+    assert p.current_version("t") == 2
+    assert p.read_stage("t", version=1).count() == 25  # v1 intact
+    assert p.read_stage("t").count() == 7
 
 
 def test_lineage_checksum_parallelism_invariant(spark, fx):
