@@ -88,3 +88,22 @@ def decode_entities(blocks: DataFrame) -> tuple[DataFrame, DataFrame]:
         ["block_id", "ent"],
     )
     return nodes, tags.select("image_id", "k", "v")
+
+
+def decode_metrics(blocks: DataFrame) -> DataFrame:
+    """Per-block decode observability (SURVEY §2.5 O2/O3): dictionary size —
+    the string-table high-watermark the reference prints (protobuf.c:308-312)
+    — plus entity and key/value-stream cardinalities and the largest
+    dictionary index actually referenced. Pure columnar arithmetic; at scale
+    this is the table you alert on (a block whose max_sid >= strtab_size is
+    corrupt — the wrong_assumption() analogue as data, readosm.c:65-68)."""
+    return blocks.select(
+        "block_id",
+        F.size("strtab").alias("strtab_size"),
+        F.size("id_delta").alias("n_entities"),
+        F.size("keys_vals").alias("n_kv_stream"),
+        F.greatest(
+            F.array_max("image_sid").cast("bigint"),
+            F.array_max("keys_vals").cast("bigint"),
+        ).alias("max_sid"),
+    ).orderBy("block_id")
