@@ -21,6 +21,17 @@ def get_spark(
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Python workers must be able to import this package regardless of the
+    # driver's CWD: workers inherit PYTHONPATH through the JVM, so export the
+    # package root before the JVM starts. (spark-submit --py-files covers the
+    # zip case; this covers plain `python` drivers launched elsewhere.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if ".zip" not in pkg_root:
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + pp if pp else "")
+            )
     if shuffle_partitions is None:
         # ~2× task slots: enough granularity for AQE to coalesce, not so many
         # that small stages drown in scheduling overhead

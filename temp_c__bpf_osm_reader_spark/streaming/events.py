@@ -23,9 +23,12 @@ def _events_schema(spark: SparkSession, sf_dir: str):
 
 def _stream_dir(sf_dir: str) -> str:
     """The file source wants a directory; expose the single parquet file via a
-    symlink under the repo scratch dir (testdata is read-only)."""
+    symlink under the fixture scratch dir (testdata is read-only). Anchored to
+    DATA_DIR, not os.getcwd() — the driver's CWD is not ours to assume."""
+    from ..sources.fixtures import DATA_DIR
+
     base = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(os.getcwd(), ".scratch", f"stream_events_{base}")
+    root = os.path.join(DATA_DIR, ".scratch", f"stream_events_{base}")
     os.makedirs(root, exist_ok=True)
     link = os.path.join(root, "events.parquet")
     if not os.path.exists(link):
