@@ -142,6 +142,15 @@ def main() -> None:
     # fixture page cache along the geolocate path — a cluster amortizes these
     # over job lifetime, and per-query timings should measure the plan
     qs["geolocate_cells"](spark, sf_dir).count()
+    # warm the pandas-UDF worker path with a NEUTRAL udf (forces the pandas
+    # import in every worker without pre-running any measured query)
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import PandasUDFType
+
+    # non-annotated form: `from __future__ import annotations` makes local
+    # type hints unresolvable for pandas_udf's inference
+    _warm = _F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    spark.range(cores * 64).repartition(cores * 2).select(_warm("id")).count()
     headline = [
         "geolocate_cells",
         "tile_assignment",
