@@ -28,6 +28,7 @@ from .indexing import grid_cell_col
 KNN_RES = 7
 KNN_RING = 2
 KNN_K = 5
+KNN_RINGS = (2, 8, 32)
 
 
 def haversine_m_col(lat1, lon1, lat2, lon2):
@@ -109,3 +110,45 @@ def knn_join(
             F.round(F.col("dist_m"), 3).alias("dist_m"),
         )
     )
+
+
+def knn_join_global(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = KNN_K,
+    res: int = KNN_RES,
+    rings: tuple[int, ...] = KNN_RINGS,
+) -> DataFrame:
+    """Escalating-ring kNN: each query's result comes from the FIRST ring in
+    `rings` that yields ≥ k neighbors (the last ring returns whatever exists).
+    Closes the ring-bounded contract of knn_join for sparse regions while
+    keeping the scalable shape: round i only re-expands the (shrinking) set of
+    still-unsatisfied queries, so the wide rings touch few queries and the
+    candidate volume stays O(density × ring²) per query per round.
+
+    Deterministic by construction — same spec as the pure-numpy golden
+    (sources/fixtures.ensure_golden_knn_global).
+    """
+    remaining = queries
+    outs = []
+    for i, ring in enumerate(rings):
+        out_r = knn_join(points, remaining, k=k, res=res, ring=ring).cache()
+        if i == len(rings) - 1:
+            outs.append(out_r)
+            break
+        done = (
+            out_r.groupBy("query_image_id")
+            .count()
+            .filter(F.col("count") >= k)
+            .select("query_image_id")
+        )
+        outs.append(out_r.join(F.broadcast(done), "query_image_id", "left_semi"))
+        remaining = remaining.join(
+            F.broadcast(done),
+            remaining["image_id"] == done["query_image_id"],
+            "left_anti",
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

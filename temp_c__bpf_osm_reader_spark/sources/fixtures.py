@@ -215,6 +215,39 @@ def ensure_golden_knn(n: int) -> str:
     return p
 
 
+def ensure_golden_knn_global(n: int, rings: tuple[int, ...] = (2, 8, 32)) -> str:
+    """Escalating-ring kNN golden: per query, the first ring in `rings` with
+    ≥ k candidates wins (last ring: emit whatever exists) — pure-numpy twin of
+    operators/knn.knn_join_global."""
+    p = os.path.join(DATA_DIR, f"golden_knn_global_{n}.parquet")
+    if not os.path.exists(p):
+        gg = pd.read_parquet(ensure_golden_geo(n))
+        lat = gg["lat"].to_numpy()
+        lon = gg["lon"].to_numpy()
+        ids = gg["image_id"].to_numpy()
+        cells = gg["cell_r7"].to_numpy()
+        rows = []
+        for qi in np.arange(0, n, 100):
+            for ri, ring in enumerate(rings):
+                cand = np.flatnonzero(
+                    np.isin(cells, geo.k_ring(int(cells[qi]), ring))
+                )
+                cand = cand[cand != qi]
+                if cand.size >= KNN_K or ri == len(rings) - 1:
+                    break
+            if cand.size == 0:
+                continue
+            d = geo.haversine_m(lat[qi], lon[qi], lat[cand], lon[cand])
+            order = np.lexsort((ids[cand], d))[:KNN_K]
+            for r, oi in enumerate(order):
+                rows.append((ids[qi], ids[cand[oi]], r + 1, round(float(d[oi]), 3)))
+        out = pd.DataFrame(
+            rows, columns=["query_image_id", "neighbor_image_id", "rank", "dist_m"]
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
 def ensure_all_for_sf(sf_dir: str) -> dict[str, str]:
     n = n_images_for_sf(sf_dir)
     m = n_polygons_for(n)
