@@ -309,3 +309,54 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
     )
+
+
+# -------------------------------------------------- addr.sql flagship 1:1 rebuild
+
+ADDR_PIVOT_KEYS = ("name", "place", "style", "q", "noun", "kind")
+
+
+def addr_pivot_union(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFrame:
+    """The reference's flagship SQL workload (post_process/addr.sql:18-90)
+    rebuilt 1:1: for EACH entity type (image/polygon/collection, the
+    nod/way/rel analogue), keep entities having the gate key (k='place', the
+    addr:street analogue, addr.sql:31-39), pivot six keys with max-CASE
+    (addr.sql:22-28), and union the three branches into one sparse-id wide
+    table (the three INSERTs, addr.sql:18/44/70).
+
+    Plan shape at scale: per branch one shuffle on the entity id (semi-join
+    gate broadcasts the small key set; pivot is a hash agg over the same
+    key) — the union is free (no barrier)."""
+    eav = spark.read.parquet(eav_path)
+    id_cols = ("image_id", "polygon_id", "collection_id")
+    branches = []
+    for ent in id_cols:
+        mine = eav.filter(F.col(ent).isNotNull())
+        gated = mine.join(
+            F.broadcast(
+                mine.filter(F.col("k") == "place").select(ent).distinct()
+            ),
+            ent,
+            "left_semi",
+        )
+        wide = gated.groupBy(ent).agg(
+            *[
+                F.max(F.when(F.col("k") == key, F.col("v"))).alias(key)
+                for key in ADDR_PIVOT_KEYS
+            ]
+        )
+        branches.append(
+            wide.select(
+                *[
+                    F.col(ent).alias(c) if c == ent else F.lit(None).cast(
+                        "string" if c == "image_id" else "bigint"
+                    ).alias(c)
+                    for c in id_cols
+                ],
+                *ADDR_PIVOT_KEYS,
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

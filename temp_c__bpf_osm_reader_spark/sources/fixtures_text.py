@@ -246,6 +246,51 @@ def ensure_golden_frames(n: int, stride: int = 8) -> str:
     return p
 
 
+def ensure_eav_all(n: int) -> str:
+    """Three-entity-type EAV table mirroring the reference's `tag` schema
+    (pbf2sqlite.c:460-468: sparse nod_id/way_id/rel_id + k + v) — the input of
+    the addr.sql flagship pivot. Entities: images (tags from the caption
+    grammar + periodic 'name'), polygons ('kind'/'name', 'place' on even ids),
+    collections ('name', 'place' on ids % 3 == 0)."""
+    p = os.path.join(fixtures.DATA_DIR, f"eav_all_{n}.parquet")
+    if not os.path.exists(p):
+        from .blocks import caption_tags
+
+        images = pd.read_parquet(fixtures.ensure_images(n))
+        polys = pd.read_parquet(fixtures.ensure_polygons(fixtures.n_polygons_for(n)))
+        n_coll = max(n // 80, 3)
+        rows = []
+        for i, r in images.iterrows():
+            for k, v in caption_tags(r["caption"]):
+                rows.append((r["image_id"], None, None, k, v))
+            if i % 3 == 0:
+                rows.append((r["image_id"], None, None, "name", f"n_{i}"))
+        for _, r in polys.iterrows():
+            pid = int(r["polygon_id"])
+            rows.append((None, pid, None, "kind", r["kind"]))
+            rows.append((None, pid, None, "name", f"poly_{pid}"))
+            if pid % 2 == 0:
+                rows.append((None, pid, None, "place", f"p{pid % 50}"))
+        for c in range(n_coll):
+            rows.append((None, None, c, "name", f"coll_{c}"))
+            if c % 3 == 0:
+                rows.append((None, None, c, "place", f"p{c % 50}"))
+        out = pd.DataFrame(
+            rows, columns=["image_id", "polygon_id", "collection_id", "k", "v"]
+        )
+        schema = pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("polygon_id", pa.int64()),
+                ("collection_id", pa.int64()),
+                ("k", pa.string()),
+                ("v", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(out, schema=schema, preserve_index=False), p)
+    return p
+
+
 # ---------------------------------------------------------------- corrupt EAV fixture
 
 def ensure_meta_corrupt(n: int) -> str:
