@@ -135,6 +135,11 @@ def main() -> None:
     from temp_c__bpf_osm_reader_spark.sources import fixtures
 
     fixtures.ensure_all_for_sf(sf_dir)  # warm the fixture cache before timing
+    # the XML shards at bench scale are gitignored → generate BEFORE timing,
+    # so xml_nodes measures the distributed parse, not driver-side shard writes
+    from temp_c__bpf_osm_reader_spark.sources import xml_source
+
+    xml_source.ensure_xml(fixtures.n_images_for_sf(sf_dir))
 
     spark = get_spark(app="bench", cores=cores)
     qs = api.queries()

@@ -29,6 +29,10 @@ from .hashing import splitmix64, fnv1a64_str_array, u01, i64_to_u64
 JITTER_DEG = 0.2  # full width of per-image jitter square, degrees
 LAT_EPS = 1e-9
 
+# frozen escalation schedule for global kNN — single source of truth shared by
+# operators/knn.knn_join_global and sources/fixtures.ensure_golden_knn_global
+KNN_RINGS = (2, 8, 32)
+
 
 def latlon_from_phash(phash: np.ndarray, image_ids) -> tuple[np.ndarray, np.ndarray]:
     """phash (int64[n]) + image_id (str[n]) → (lat, lon) float64 arrays.

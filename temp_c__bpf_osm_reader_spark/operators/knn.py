@@ -22,13 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.geo import RES_SHIFT, I_SHIFT, IJ_MASK, EARTH_R_M
+from ..functions.geo import RES_SHIFT, I_SHIFT, IJ_MASK, EARTH_R_M, KNN_RINGS
 from .indexing import grid_cell_col
 
 KNN_RES = 7
 KNN_RING = 2
 KNN_K = 5
-KNN_RINGS = (2, 8, 32)
 
 
 def haversine_m_col(lat1, lon1, lat2, lon2):
@@ -132,10 +131,14 @@ def knn_join_global(
     remaining = queries
     outs = []
     for i, ring in enumerate(rings):
-        out_r = knn_join(points, remaining, k=k, res=res, ring=ring).cache()
         if i == len(rings) - 1:
-            outs.append(out_r)
+            # final ring is consumed exactly once — no cache
+            outs.append(knn_join(points, remaining, k=k, res=res, ring=ring))
             break
+        # non-final rounds feed both the done-set and the output → cache.
+        # (Session-lifetime pin: callers doing many knn_join_global calls in
+        # one session should checkpoint/unpersist between calls.)
+        out_r = knn_join(points, remaining, k=k, res=res, ring=ring).cache()
         done = (
             out_r.groupBy("query_image_id")
             .count()

@@ -215,7 +215,7 @@ def ensure_golden_knn(n: int) -> str:
     return p
 
 
-def ensure_golden_knn_global(n: int, rings: tuple[int, ...] = (2, 8, 32)) -> str:
+def ensure_golden_knn_global(n: int, rings: tuple[int, ...] = geo.KNN_RINGS) -> str:
     """Escalating-ring kNN golden: per query, the first ring in `rings` with
     ≥ k candidates wins (last ring: emit whatever exists) — pure-numpy twin of
     operators/knn.knn_join_global."""

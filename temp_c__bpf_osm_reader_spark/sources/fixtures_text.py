@@ -256,15 +256,17 @@ def ensure_eav_all(n: int) -> str:
     if not os.path.exists(p):
         from .blocks import caption_tags
 
-        images = pd.read_parquet(fixtures.ensure_images(n))
+        images = pd.read_parquet(
+            fixtures.ensure_images(n), columns=["image_id", "caption"]
+        )
         polys = pd.read_parquet(fixtures.ensure_polygons(fixtures.n_polygons_for(n)))
         n_coll = max(n // 80, 3)
         rows = []
-        for i, r in images.iterrows():
-            for k, v in caption_tags(r["caption"]):
-                rows.append((r["image_id"], None, None, k, v))
+        for i, (img, cap) in enumerate(zip(images["image_id"], images["caption"])):
+            for k, v in caption_tags(cap):
+                rows.append((img, None, None, k, v))
             if i % 3 == 0:
-                rows.append((r["image_id"], None, None, "name", f"n_{i}"))
+                rows.append((img, None, None, "name", f"n_{i}"))
         for _, r in polys.iterrows():
             pid = int(r["polygon_id"])
             rows.append((None, pid, None, "kind", r["kind"]))
