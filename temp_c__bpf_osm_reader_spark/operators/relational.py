@@ -360,3 +360,36 @@ def addr_pivot_union(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFra
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+# -------------------------------------------- JSON props + cube (§2.4 class rows)
+
+def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the events.props JSON payload ('{"k": N}') and aggregate it per
+    event type — the JSON-function class (§2.4: from_json/get_json_object;
+    the reference has no nested types at all, SURVEY §1.4)."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("kval"),
+    )
+    return (
+        kv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("kval").alias("sum_k"),
+            F.min("kval").alias("min_k"),
+            F.max("kval").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (returnflag, linestatus) — the full grouping-sets
+    lattice (rollup's sibling, §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(_cents(F.col("l_quantity"))) / 100.0, 2).alias("qty"),
+    )
