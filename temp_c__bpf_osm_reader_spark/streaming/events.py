@@ -107,3 +107,46 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str, query_name: str = "st
     t = spark.table(query_name)
     w = F.row_number().over(Window.partitionBy("user_id").orderBy(F.col("n_events").desc()))
     return t.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def cell_counts_stream(spark: SparkSession, sf_dir: str, query_name: str = "cells_out") -> DataFrame:
+    """Streaming INGEST path — the reference's block-at-a-time decode loop
+    (readosm.c:1694-1892: read block → decode → load, bounded memory) as
+    Structured Streaming: the images table is consumed incrementally
+    (maxFilesPerTrigger=1), each micro-batch geolocates through the SAME
+    mapInArrow kernel as the batch path, and the running per-cell counts are
+    maintained as streaming state. Driven to completion; stream ≡ batch
+    GROUP BY is the oracle."""
+    from ..operators import indexing
+    from ..sources import fixtures
+    from ..sources.fixtures import DATA_DIR
+
+    n = fixtures.n_images_for_sf(sf_dir)
+    images_path = fixtures.ensure_images(n)
+    root = os.path.join(DATA_DIR, ".scratch", f"stream_images_{n}")
+    os.makedirs(root, exist_ok=True)
+    link = os.path.join(root, os.path.basename(images_path))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(images_path), link)
+    schema = spark.read.parquet(images_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(root)
+        .select("image_id", "phash")
+    )
+    pts = indexing.with_cells(indexing.geolocate(stream), resolutions=(7,), zlevel=0)
+    agg = pts.groupBy(F.col("cell_r7").alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_images"), F.min("image_id").alias("first_image")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
