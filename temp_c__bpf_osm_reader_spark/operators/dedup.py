@@ -164,3 +164,54 @@ def simhash_pairs(
         .dropDuplicates(["doc1", "doc2"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH candidate
+    pair graph via iterative min-label propagation → (doc_id, cluster_id),
+    cluster_id = min doc_id of the component, singletons keep their own id.
+    This is the step that makes dedup actionable at scale (drop all but the
+    cluster representative).
+
+    Iterative DataFrame algorithm (the class SQL can't express — SURVEY §2.4):
+    each round joins labels to the bidirectional edge list, takes the min of
+    own and neighbor labels, and localCheckpoints to truncate lineage; stops
+    when no label changed. Rounds needed = graph diameter (≤ log n for the
+    near-dup graph's tiny components); each round is one shuffle on doc_id.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold).select("doc1", "doc2")
+    edges = (
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .unionByName(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["doc_id"] == neigh_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

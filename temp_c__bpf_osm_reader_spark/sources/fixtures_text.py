@@ -246,6 +246,34 @@ def ensure_golden_frames(n: int, stride: int = 8) -> str:
     return p
 
 
+def ensure_golden_clusters(sf_dir: str) -> str:
+    """(doc_id, cluster_id) connected components over the golden MinHash
+    pairs — plain-python union-find, the independent twin of
+    operators/dedup.dedup_clusters (cluster_id = min doc_id of component)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    p = os.path.join(fixtures.DATA_DIR, f"golden_clusters_{base}.parquet")
+    if not os.path.exists(p):
+        pairs = pd.read_parquet(ensure_golden_minhash(sf_dir))
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))["doc_id"]
+        parent: dict[int, int] = {int(d): int(d) for d in docs}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for d1, d2 in zip(pairs["doc1"], pairs["doc2"]):
+            r1, r2 = find(int(d1)), find(int(d2))
+            if r1 != r2:
+                parent[max(r1, r2)] = min(r1, r2)
+        out = pd.DataFrame(
+            {"doc_id": [int(d) for d in docs], "cluster_id": [find(int(d)) for d in docs]}
+        ).astype({"doc_id": "int64", "cluster_id": "int64"})
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
 def ensure_eav_all(n: int) -> str:
     """Three-entity-type EAV table mirroring the reference's `tag` schema
     (pbf2sqlite.c:460-468: sparse nod_id/way_id/rel_id + k + v) — the input of
