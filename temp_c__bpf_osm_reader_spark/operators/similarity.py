@@ -201,3 +201,86 @@ def ann_topk_srp(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "sim")
     )
+
+
+KMEANS_K_MOD = 50      # initial centroids: vec_id % 50 == 1 (same as IVF)
+KMEANS_ITERS = 5       # fixed iteration count (frozen spec)
+KMEANS_SCALE = 1 << 20 # fixed-point scale for exact, order-independent sums
+
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic k-means over the embeddings: (vec_id, cluster, dist2).
+
+    Frozen spec making an iterative ML algorithm bit-exact and
+    order-independent (the engine's exactness convention applied to ML):
+      * init: centroids = embeddings of vec_id % 50 == 1, ordered by vec_id;
+      * assignment: nearest centroid by squared L2 (double), ties → lower
+        centroid index (argmin-first);
+      * update: per-dimension mean computed from EXACT integer sums —
+        each coordinate is scaled by 2^20 and rounded to int64 before
+        summation, so the reduce order cannot perturb the centroid
+        (float sums are order-dependent; integer sums are not);
+      * exactly `iters` update rounds, then a final assignment;
+      * dist2 rounded to 6 decimals.
+
+    Execution shape: per round, one Arrow-batched assignment pass (centroid
+    matrix broadcast) + one groupBy(cluster) integer-sum shuffle. The numpy
+    golden (fixtures_text.ensure_golden_kmeans) replays the identical
+    arithmetic.
+    """
+    base = _emb(spark, sf_dir).select("vec_id", "v")
+    crows = (
+        base.filter(F.col("vec_id") % KMEANS_K_MOD == 1).orderBy("vec_id").collect()
+    )
+    cent = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
+    sc = spark.sparkContext
+
+    def make_assign_udf(bc):
+        @F.pandas_udf(T.IntegerType())
+        def assign_udf(v: pd.Series) -> pd.Series:
+            c = bc.value
+            m = np.stack(v.to_numpy())
+            # broadcasted (x-c)² — deliberately NOT a BLAS matmul: DGEMM's
+            # blocking depends on the batch shape, so `m @ c.T` differs by
+            # ulps between batch sizes and breaks bit-determinism. The
+            # broadcast form is shape-independent per (row, centroid).
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+        return assign_udf
+
+    # bround (half-even), NOT round (half-up): float32-derived doubles land
+    # exactly on .5 at this scale, and the numpy twin rounds half-even
+    qv = F.expr(f"transform(v, x -> cast(bround(x * {KMEANS_SCALE}) as bigint))")
+    for _ in range(iters):
+        bc = sc.broadcast(cent)
+        assigned = base.withColumn("cluster", make_assign_udf(bc)(F.col("v")))
+        # per-(cluster, dim) exact integer partial sums — map-side combinable,
+        # no per-cluster row materialization (k × dim rows reach the driver)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(qv).alias("pos", "qx")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in sums:
+            new_cent[r["cluster"], r["pos"]] = r["s"] / (r["n"] * float(KMEANS_SCALE))
+        cent = new_cent
+    bc = sc.broadcast(cent)
+    assigned = base.withColumn("cluster", make_assign_udf(bc)(F.col("v")))
+
+    @F.pandas_udf(T.DoubleType())
+    def dist2_udf(v: pd.Series, cl: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack(v.to_numpy())
+        d = m - c[cl.to_numpy()]
+        return pd.Series(np.round((d * d).sum(axis=1), 6))
+
+    return assigned.select(
+        "vec_id", "cluster", dist2_udf(F.col("v"), F.col("cluster")).alias("dist2")
+    )

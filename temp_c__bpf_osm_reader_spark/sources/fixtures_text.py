@@ -274,6 +274,48 @@ def ensure_golden_clusters(sf_dir: str) -> str:
     return p
 
 
+def ensure_golden_kmeans(sf_dir: str, iters: int = 5) -> str:
+    """(vec_id, cluster, dist2) — numpy replay of the frozen deterministic
+    k-means spec in operators/similarity.kmeans_assign (integer-scaled exact
+    centroid sums, argmin-first ties, fixed iterations)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    p = os.path.join(fixtures.DATA_DIR, f"golden_kmeans_{base}.parquet")
+    if not os.path.exists(p):
+        import numpy as np
+
+        scale = 1 << 20
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = emb["vec_id"].to_numpy()
+        m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        cent = m[ids % 50 == 1].copy()
+        q = np.round(m * scale).astype(np.int64)
+
+        def assign(c):
+            # broadcast form, same as the UDF (no BLAS — see kmeans_assign)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return np.argmin(d2, axis=1)
+
+        for _ in range(iters):
+            cl = assign(cent)
+            for ci in range(cent.shape[0]):
+                mask = cl == ci
+                if mask.any():
+                    cent[ci] = q[mask].sum(axis=0) / (mask.sum() * float(scale))
+        cl = assign(cent)
+        d = m - cent[cl]
+        out = pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "cluster": cl.astype("int32"),
+                "dist2": np.round((d * d).sum(axis=1), 6),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
 def ensure_eav_all(n: int) -> str:
     """Three-entity-type EAV table mirroring the reference's `tag` schema
     (pbf2sqlite.c:460-468: sparse nod_id/way_id/rel_id + k + v) — the input of
