@@ -104,3 +104,46 @@ def test_zigzag_roundtrip_property(vals):
     z = zigzag_encode(v)
     dec = (z >> 1) ^ -(z & 1)
     assert np.array_equal(dec, v)
+
+
+ring_s = st.lists(
+    st.tuples(
+        st.floats(min_value=-60.0, max_value=60.0, allow_nan=False),
+        st.floats(min_value=-120.0, max_value=120.0, allow_nan=False),
+    ),
+    min_size=3,
+    max_size=8,
+)
+pts_s = st.lists(
+    st.tuples(
+        st.floats(min_value=-65.0, max_value=65.0, allow_nan=False),
+        st.floats(min_value=-125.0, max_value=125.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(ring_s, pts_s, st.integers(min_value=1, max_value=7))
+@settings(max_examples=80, deadline=None)
+def test_pip_invariant_under_ring_rotation(ring, pts, rot):
+    # rotating the ring's starting vertex preserves the directed edge set, so
+    # even-odd ray casting must give BIT-identical answers for every point
+    ry = np.array([p[0] for p in ring])
+    rx = np.array([p[1] for p in ring])
+    y = np.array([p[0] for p in pts])
+    x = np.array([p[1] for p in pts])
+    a = geo.point_in_polygon(y, x, ry, rx)
+    k = rot % len(ring)
+    b = geo.point_in_polygon(y, x, np.roll(ry, k), np.roll(rx, k))
+    assert np.array_equal(a, b)
+
+
+@given(ring_s, st.integers(min_value=2, max_value=8))
+@settings(max_examples=60, deadline=None)
+def test_polyfill_bbox_covers_every_vertex_cell(ring, res):
+    ry = np.array([p[0] for p in ring])
+    rx = np.array([p[1] for p in ring])
+    cover = set(geo.polyfill_bbox(ry, rx, res).tolist())
+    vertex_cells = set(geo.grid_cell(ry, rx, res).tolist())
+    assert vertex_cells <= cover
