@@ -98,9 +98,13 @@ def _hw_streaming_ceiling(n_small: int, n_big: int) -> float:
     cores share one memory system, so this ratio — not 1.0 — is the ideal any
     engine can reach here. Reported so scaling efficiency can be judged
     against the measured hardware, not an impossible ideal."""
-    import multiprocessing as mp
+    import multiprocessing
     import statistics
 
+    # spawn, not fork: the driver process owned a JVM gateway with live
+    # threads earlier in this run — forking such a process is a known
+    # intermittent-deadlock hazard on Linux
+    mp = multiprocessing.get_context("spawn")
     ratios = []
     for _rep in range(3):  # host noise: median of 3 interleaved measurements
         thr = {}
@@ -150,11 +154,8 @@ def main() -> None:
     # warm the pandas-UDF worker path with a NEUTRAL udf (forces the pandas
     # import in every worker without pre-running any measured query)
     from pyspark.sql import functions as _F
-    from pyspark.sql.functions import PandasUDFType
 
-    # non-annotated form: `from __future__ import annotations` makes local
-    # type hints unresolvable for pandas_udf's inference
-    _warm = _F.pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    _warm = _F.pandas_udf(lambda s: s, "long")
     spark.range(cores * 64).repartition(cores * 2).select(_warm("id")).count()
     headline = [
         "geolocate_cells",

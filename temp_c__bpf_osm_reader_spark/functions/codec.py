@@ -97,3 +97,60 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def decode_batch(
+    datas, w: np.ndarray, h: np.ndarray, fmt: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of a whole Arrow batch → (flat_pixels, offsets).
+
+    flat_pixels is every image's pixels concatenated in row order; offsets is
+    int64[n+1] so image i is flat_pixels[offsets[i]:offsets[i+1]]. No
+    per-image Python decode loop: all payloads are joined into one byte
+    buffer, RLE runs across ALL images expand in a single np.repeat, and raw
+    payloads are scattered by a repeat-mask. Raises the same errors as the
+    scalar decode() on malformed payloads (size mismatch / odd RLE length /
+    unknown fmt) — defensive assertions, SURVEY D14."""
+    fmt = np.asarray(fmt)
+    known = (fmt == "raw") | (fmt == "rle")
+    if not known.all():
+        bad = fmt[~known][0]
+        raise NotImplementedError(
+            f"fmt {bad!r}: external codecs (jpeg/png/...) are stubbed — no image "
+            "libraries in this environment; plumbing (schema/batching) is real."
+        )
+    n = len(fmt)
+    sizes = np.asarray(w, dtype=np.int64) * np.asarray(h, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes)))
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), offsets
+    bufs = list(datas)
+    flat_payload = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    plen = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    is_rle = fmt == "rle"
+    raw_bad = np.flatnonzero(~is_rle & (plen != sizes))
+    if raw_bad.size:
+        i = raw_bad[0]
+        raise ValueError(f"raw payload size {plen[i]} != w*h {sizes[i]}")
+    if (plen[is_rle] % 2).any():
+        raise ValueError("rle payload has odd length")
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    payload_is_rle = np.repeat(is_rle, plen)   # mask over the joined payloads
+    out_is_rle = np.repeat(is_rle, sizes)      # mask over the decoded pixels
+    # raw images: payload bytes ARE the pixels
+    out[~out_is_rle] = flat_payload[~payload_is_rle]
+    if is_rle.any():
+        rle_bytes = flat_payload[payload_is_rle]
+        counts = rle_bytes[0::2].astype(np.int64)
+        vals = rle_bytes[1::2]
+        # per-image decoded sizes: segmented sums of counts at pair boundaries
+        pair_off = np.concatenate(([0], np.cumsum(plen[is_rle] // 2)))[:-1]
+        dec_sizes = np.add.reduceat(counts, pair_off)
+        bad = np.flatnonzero(dec_sizes != sizes[is_rle])
+        if bad.size:
+            i = bad[0]
+            raise ValueError(
+                f"rle decoded size {dec_sizes[i]} != w*h {sizes[is_rle][i]}"
+            )
+        out[out_is_rle] = np.repeat(vals, counts)
+    return out, offsets

@@ -35,10 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import (
-    fnv1a64_str_array,
-    minhash_params,
-    minhash_signature,
-    simhash64,
+    minhash_sigs_batch,
+    simhash_batch,
 )
 
 NUM_PERM = 64
@@ -48,30 +46,24 @@ SIMHASH_BANDS = 4
 SIMHASH_MAX_HAMMING = 6
 
 
-def _shingles(text: str, n: int = 3) -> list[str]:
-    toks = text.split(" ")
-    if len(toks) < n:
-        return [" ".join(toks)]
-    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
-
-
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_sig_udf(text: pd.Series) -> pd.Series:
-    a, b = minhash_params(NUM_PERM, seed=7)
-    out = []
-    for t in text:
-        hs = fnv1a64_str_array(_shingles(t))
-        out.append(minhash_signature(hs, a, b).view(np.int64).tolist())
-    return pd.Series(out)
+    """Whole-batch MinHash (functions.hashing.minhash_sigs_batch) — same
+    frozen spec as the round-1 per-document loop, bit-identical goldens;
+    shingle hashing + segmented min run once per Arrow batch."""
+    import pyarrow as pa
+
+    sigs = minhash_sigs_batch(pa.Array.from_pandas(text), NUM_PERM, seed=7)
+    return pd.Series(list(sigs.view(np.int64)))
 
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    out = np.empty(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        toks = list(dict.fromkeys(t.split(" ")))
-        out[i] = simhash64(fnv1a64_str_array(toks))
-    return pd.Series(out)
+    """Whole-batch SimHash (functions.hashing.simhash_batch) — distinct-token
+    bit-vote computed via one lexsort + 64 segmented reductions per batch."""
+    import pyarrow as pa
+
+    return pd.Series(simhash_batch(pa.Array.from_pandas(text)))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,4 +206,12 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs rounds ≈ component diameter; silently
+        # returning non-converged labels would be a wrong answer with no error
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter "
+            "(rounds needed grow with the candidate-graph diameter)"
+        )
     return labels

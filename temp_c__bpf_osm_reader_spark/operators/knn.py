@@ -130,15 +130,16 @@ def knn_join_global(
     """
     remaining = queries
     outs = []
+    cached = []
     for i, ring in enumerate(rings):
         if i == len(rings) - 1:
             # final ring is consumed exactly once — no cache
             outs.append(knn_join(points, remaining, k=k, res=res, ring=ring))
             break
-        # non-final rounds feed both the done-set and the output → cache.
-        # (Session-lifetime pin: callers doing many knn_join_global calls in
-        # one session should checkpoint/unpersist between calls.)
+        # non-final rounds feed both the done-set and the output → cache
+        # (released below once the union is checkpointed)
         out_r = knn_join(points, remaining, k=k, res=res, ring=ring).cache()
+        cached.append(out_r)
         done = (
             out_r.groupBy("query_image_id")
             .count()
@@ -154,4 +155,11 @@ def knn_join_global(
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
+    if cached:
+        # cut the lineage through the per-ring caches, then release them —
+        # otherwise a long-lived session (the 50-query harness) accumulates
+        # pinned executor memory across invocations
+        result = result.localCheckpoint(eager=True)
+        for c in cached:
+            c.unpersist()
     return result

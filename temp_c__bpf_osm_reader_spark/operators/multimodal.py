@@ -17,8 +17,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import codec
-from ..functions.hashing import phash64
+from ..functions.hashing import phash64_batch
 from ..sources import fixtures
+
+
+def _decode_groups(pdf: pd.DataFrame):
+    """Whole-batch decode + per-shape grouping: yields (W, H, idx, mat) where
+    idx are the batch row positions with shape (W, H) and mat is their decoded
+    pixel matrix (len(idx), H*W) uint8. One codec.decode_batch call per Arrow
+    batch; stats downstream vectorize per shape group (phash64_batch etc.) —
+    no per-image Python loop anywhere in the codec family."""
+    wv, hv = pdf["w"].to_numpy(), pdf["h"].to_numpy()
+    fv = pdf["fmt"].to_numpy()
+    flat, off = codec.decode_batch(pdf["bytes"], wv, hv, fv)
+    for W, H in sorted({(int(a), int(b)) for a, b in zip(wv, hv)}):
+        idx = np.flatnonzero((wv == W) & (hv == H))
+        mat = flat[off[idx][:, None] + np.arange(W * H)]
+        yield W, H, idx, mat
 
 _DECODE_STATS_TYPE = T.StructType(
     [
@@ -30,15 +45,15 @@ _DECODE_STATS_TYPE = T.StructType(
 
 @F.pandas_udf(_DECODE_STATS_TYPE)
 def decode_stats_udf(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.DataFrame:
-    """Decode each payload, return (sum of pixel values, phash of decoded pixels)."""
+    """Decode each payload, return (sum of pixel values, phash of decoded
+    pixels). Whole-batch: one decode_batch + per-shape vectorized stats."""
     n = len(data)
     pix_sum = np.empty(n, dtype=np.int64)
     ph = np.empty(n, dtype=np.int64)
-    wv, hv, fv = w.to_numpy(), h.to_numpy(), fmt.to_numpy()
-    for i in range(n):
-        px = codec.decode(data.iloc[i], int(wv[i]), int(hv[i]), str(fv[i]))
-        pix_sum[i] = int(px.sum(dtype=np.int64))
-        ph[i] = phash64(px, int(wv[i]), int(hv[i]))
+    pdf = pd.DataFrame({"bytes": data, "w": w, "h": h, "fmt": fmt})
+    for W, H, idx, mat in _decode_groups(pdf):
+        pix_sum[idx] = mat.sum(axis=1, dtype=np.int64)
+        ph[idx] = phash64_batch(mat, W, H)
     return pd.DataFrame({"pix_sum": pix_sum, "phash_dec": ph})
 
 
@@ -73,26 +88,20 @@ def block_features_flat(spark: SparkSession, sf_dir: str, grid: int = 4) -> Data
 
     def gen(batches):
         for pdf in batches:
-            ids, idxs, vals = [], [], []
-            wv, hv, fv = pdf["w"].to_numpy(), pdf["h"].to_numpy(), pdf["fmt"].to_numpy()
-            data = pdf["bytes"]
-            for i in range(len(pdf)):
-                w, h = int(wv[i]), int(hv[i])
-                px = codec.decode(data.iloc[i], w, h, str(fv[i]))
-                bh, bw = h // grid, w // grid
-                sums = (
-                    px.reshape(grid, bh, grid, bw)
-                    .sum(axis=(1, 3), dtype=np.int64)
-                    .ravel()
+            n = len(pdf)
+            g2 = grid * grid
+            vals = np.empty((n, g2), dtype=np.float64)
+            for W, H, idx, mat in _decode_groups(pdf):
+                bh, bw = H // grid, W // grid
+                sums = mat.reshape(len(idx), grid, bh, grid, bw).sum(
+                    axis=(2, 4), dtype=np.int64
                 )
-                ids.extend([pdf["image_id"].iloc[i]] * (grid * grid))
-                idxs.extend(range(grid * grid))
-                vals.extend((sums / float(bh * bw)).tolist())
+                vals[idx] = sums.reshape(len(idx), g2) / float(bh * bw)
             yield pd.DataFrame(
                 {
-                    "image_id": pd.Series(ids, dtype=object),
-                    "feat_idx": pd.Series(idxs, dtype="int32"),
-                    "value": pd.Series(vals, dtype="float64"),
+                    "image_id": pdf["image_id"].repeat(g2).reset_index(drop=True),
+                    "feat_idx": pd.Series(np.tile(np.arange(g2), n), dtype="int32"),
+                    "value": pd.Series(vals.ravel(), dtype="float64"),
                 }
             )
 
@@ -117,21 +126,18 @@ def resize_nn(spark: SparkSession, sf_dir: str, size: int = RESIZE_TO) -> DataFr
 
     def gen(batches):
         for pdf in batches:
-            ids, sums, phs = [], [], []
-            wv, hv, fv = pdf["w"].to_numpy(), pdf["h"].to_numpy(), pdf["fmt"].to_numpy()
-            data = pdf["bytes"]
-            for i in range(len(pdf)):
-                w, h = int(wv[i]), int(hv[i])
-                px = codec.decode(data.iloc[i], w, h, str(fv[i])).reshape(h, w)
-                ri = (np.arange(size) * h) // size
-                rj = (np.arange(size) * w) // size
-                small = px[np.ix_(ri, rj)]
-                ids.append(pdf["image_id"].iloc[i])
-                sums.append(int(small.sum(dtype=np.int64)))
-                phs.append(phash64(small.ravel(), size, size))
+            n = len(pdf)
+            sums = np.empty(n, dtype=np.int64)
+            phs = np.empty(n, dtype=np.int64)
+            for W, H, idx, mat in _decode_groups(pdf):
+                ri = (np.arange(size) * H) // size
+                rj = (np.arange(size) * W) // size
+                small = mat[:, (ri[:, None] * W + rj[None, :]).ravel()]
+                sums[idx] = small.sum(axis=1, dtype=np.int64)
+                phs[idx] = phash64_batch(small, size, size)
             yield pd.DataFrame(
                 {
-                    "image_id": pd.Series(ids, dtype=object),
+                    "image_id": pdf["image_id"].reset_index(drop=True),
                     "r_sum": pd.Series(sums, dtype="int64"),
                     "r_phash": pd.Series(phs, dtype="int64"),
                 }
@@ -159,24 +165,30 @@ def frame_sample(spark: SparkSession, sf_dir: str, stride: int = FRAME_STRIDE) -
 
     def gen(batches):
         for pdf in batches:
-            ids, idxs, sums, means = [], [], [], []
-            wv, hv, fv = pdf["w"].to_numpy(), pdf["h"].to_numpy(), pdf["fmt"].to_numpy()
-            data = pdf["bytes"]
-            for i in range(len(pdf)):
-                w, h = int(wv[i]), int(hv[i])
-                px = codec.decode(data.iloc[i], w, h, str(fv[i])).reshape(h, w)
-                frames = px[::stride]
-                fsum = frames.sum(axis=1, dtype=np.int64)
-                ids.extend([pdf["image_id"].iloc[i]] * len(fsum))
-                idxs.extend(range(0, h, stride))
-                sums.extend(fsum.tolist())
-                means.extend((fsum / float(w)).tolist())
+            n = len(pdf)
+            nf_of = np.empty(n, dtype=np.int64)      # frames per image
+            per_img = [None] * n                     # (frame_idx, fsum, fmean)
+            for W, H, idx, mat in _decode_groups(pdf):
+                fr = mat.reshape(len(idx), H, W)[:, ::stride]
+                fsum = fr.sum(axis=2, dtype=np.int64)    # (k, nf)
+                fidx = np.arange(0, H, stride, dtype=np.int32)
+                nf_of[idx] = len(fidx)
+                fmean = fsum / float(W)
+                for j, i in enumerate(idx):
+                    per_img[i] = (fidx, fsum[j], fmean[j])
+            ids = pdf["image_id"].repeat(nf_of).reset_index(drop=True)
             yield pd.DataFrame(
                 {
-                    "image_id": pd.Series(ids, dtype=object),
-                    "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_sum": pd.Series(sums, dtype="int64"),
-                    "frame_mean": pd.Series(means, dtype="float64"),
+                    "image_id": ids,
+                    "frame_idx": pd.Series(
+                        np.concatenate([p[0] for p in per_img]), dtype="int32"
+                    ),
+                    "frame_sum": pd.Series(
+                        np.concatenate([p[1] for p in per_img]), dtype="int64"
+                    ),
+                    "frame_mean": pd.Series(
+                        np.concatenate([p[2] for p in per_img]), dtype="float64"
+                    ),
                 }
             )
 
@@ -193,14 +205,13 @@ def block_mean_features(spark: SparkSession, sf_dir: str, grid: int = 4) -> Data
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def feat(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
-        out = []
-        wv, hv, fv = w.to_numpy(), h.to_numpy(), fmt.to_numpy()
-        for i in range(len(data)):
-            px = codec.decode(data.iloc[i], int(wv[i]), int(hv[i]), str(fv[i]))
-            img = px.reshape(int(hv[i]), int(wv[i])).astype(np.float64)
-            bh, bw = int(hv[i]) // grid, int(wv[i]) // grid
-            means = img.reshape(grid, bh, grid, bw).mean(axis=(1, 3)).ravel()
-            out.append(np.round(means, 6).tolist())
-        return pd.Series(out)
+        n = len(data)
+        out = np.empty((n, grid * grid), dtype=np.float64)
+        pdf = pd.DataFrame({"bytes": data, "w": w, "h": h, "fmt": fmt})
+        for W, H, idx, mat in _decode_groups(pdf):
+            bh, bw = H // grid, W // grid
+            means = mat.reshape(len(idx), grid, bh, grid, bw).mean(axis=(2, 4))
+            out[idx] = np.round(means.reshape(len(idx), grid * grid), 6)
+        return pd.Series(list(out))
 
     return images.select("image_id", feat("bytes", "w", "h", "fmt").alias("features"))

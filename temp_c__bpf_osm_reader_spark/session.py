@@ -25,8 +25,11 @@ def get_spark(
     # driver's CWD: workers inherit PYTHONPATH through the JVM, so export the
     # package root before the JVM starts. (spark-submit --py-files covers the
     # zip case; this covers plain `python` drivers launched elsewhere.)
+    # only meaningful pre-JVM (workers read PYTHONPATH at launch) and only
+    # when the package lives in a real directory (spark-submit --py-files
+    # ships the zip itself)
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if ".zip" not in pkg_root:
+    if os.path.isdir(pkg_root):
         pp = os.environ.get("PYTHONPATH", "")
         if pkg_root not in pp.split(os.pathsep):
             os.environ["PYTHONPATH"] = (

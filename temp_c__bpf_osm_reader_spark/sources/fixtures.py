@@ -292,3 +292,61 @@ def ensure_collections(n: int) -> str:
                   "member_ref": "int64"})
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
     return p
+
+
+# -------------------------------------------- planted near-dup embeddings
+
+EMB_DUPS_DIM = 64
+EMB_DUPS_SEED = 977_000_001
+EMB_DUPS_MOD = 4          # vec i with i % 4 == 1 is a near-dup of vec i-1
+EMB_DUPS_NOISE = 0.035    # planted cosine ≈ 0.9994 (margin to TAU and to LSH p)
+
+
+def n_dup_vecs_for(n_images: int) -> int:
+    return max(1000, n_images // 10)
+
+
+def emb_dups_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"emb_dups_{n}.parquet")
+
+
+def ensure_emb_dups(n: int) -> str:
+    """Embedding table with PLANTED near-duplicates: every vec_id % 4 == 1 is
+    a tiny-noise copy of its predecessor (cosine ≈ 0.9994); all other pairs
+    are independent uniform vectors (64-dim → background cosines concentrate
+    near 0, max ≪ 0.8 at these n). This separation is what makes an LSH-
+    bucketed near-dup EXACT on this table: the planted pairs collide in ≥1
+    band with probability 1 - ~1e-17, the background never crosses the
+    refine threshold. Generation asserts both margins."""
+    path = emb_dups_path(n)
+    if os.path.exists(path):
+        return path
+    dim = EMB_DUPS_DIM
+    from ..functions.hashing import u01
+
+    idx = np.arange(n * dim, dtype=np.int64) + EMB_DUPS_SEED
+    v = (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(n, dim)
+    noise = (u01(splitmix64(idx + 7_777_777)) * 2.0 - 1.0).reshape(n, dim)
+    planted = np.arange(n) % EMB_DUPS_MOD == 1
+    planted[0] = False
+    src = np.flatnonzero(planted)
+    v[src] = v[src - 1] + EMB_DUPS_NOISE * noise[src]
+    v32 = v.astype(np.float32)
+    # margin assertions on the float32-stored values (what consumers read)
+    vd = v32.astype(np.float64)
+    nrm = np.linalg.norm(vd, axis=1)
+    cos = (vd @ vd.T) / np.outer(nrm, nrm)
+    pl = cos[src, src - 1]
+    assert pl.min() > 0.99, f"planted sim too low: {pl.min()}"
+    cos[src, src - 1] = 0.0
+    cos[src - 1, src] = 0.0
+    np.fill_diagonal(cos, 0.0)
+    assert cos.max() < 0.7, f"background sim too high: {cos.max()}"
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(v32), type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, path)
+    return path

@@ -79,9 +79,14 @@ def ensure_xml(n: int) -> str:
 
 def _parsed(spark, xml_dir: str):
     """binaryFile scan of the shards → mapInPandas XML parse (file = task)."""
+    # pathGlobFilter on the directory, NOT a glob in the path: a glob path
+    # makes FileStreamSink.hasMetadata stat the literal "*.osm" and log a
+    # FileNotFoundException stack at WARN on every load (harmless but noisy —
+    # it polluted the round-1 bench artifact)
     return (
         spark.read.format("binaryFile")
-        .load(os.path.join(xml_dir, "*.osm"))
+        .option("pathGlobFilter", "*.osm")
+        .load(xml_dir)
         .select("path", "content")
     )
 
