@@ -161,34 +161,67 @@ def ann_topk_ivf(
     )
 
 
-def _srp_planes() -> np.ndarray:
-    """Deterministic random hyperplanes: (SRP_BITS, SRP_DIM) in [-1, 1)."""
-    idx = np.arange(SRP_BITS * SRP_DIM, dtype=np.int64) + SRP_SEED
-    return (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(SRP_BITS, SRP_DIM)
+def srp_bits_for(n: int) -> int:
+    """Bucket-count scaling law: 2^bits ≈ n / 32 (≈32 vectors per bucket).
+
+    A FIXED bit width is wrong at both ends — 16 bits over 500 vectors puts
+    every vector alone in its bucket (recall ~0), and over 10^12 rows leaves
+    10^7-row buckets (no pruning). Growing bits with log2(n) keeps per-bucket
+    work constant; at 10^12 rows this is ~35 bits."""
+    import math
+
+    return max(4, int(math.floor(math.log2(max(n, 64) / 32.0))))
 
 
-@F.pandas_udf(T.IntegerType())
-def srp_bucket_udf(v: pd.Series) -> pd.Series:
-    planes = _srp_planes()
-    mat = np.stack(v.to_numpy())  # (n, dim)
-    bits = (mat @ planes.T) > 0  # (n, bits)
-    weights = (1 << np.arange(SRP_BITS)).astype(np.int64)
-    return pd.Series((bits @ weights).astype(np.int32))
+def _srp_planes(bits: int = SRP_BITS) -> np.ndarray:
+    """Deterministic random hyperplanes: (bits, SRP_DIM) in [-1, 1)."""
+    idx = np.arange(bits * SRP_DIM, dtype=np.int64) + SRP_SEED
+    return (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(bits, SRP_DIM)
+
+
+def _srp_bucket_udf(bits: int):
+    @F.pandas_udf(T.LongType())
+    def srp_bucket(v: pd.Series) -> pd.Series:
+        planes = _srp_planes(bits)
+        mat = np.stack(v.to_numpy())  # (n, dim)
+        sign = (mat @ planes.T) > 0  # (n, bits)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        return pd.Series((sign @ weights).astype(np.int64))
+
+    return srp_bucket
 
 
 def ann_topk_srp(
-    spark: SparkSession, sf_dir: str, k: int = ANN_K, query_mod: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_K,
+    query_mod: int = 20,
+    bits: int | None = None,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's SRP bucket.
+    """Approximate top-k: SRP sign-buckets with n-scaled width + Hamming-1
+    multi-probe (query probes its own bucket and every 1-bit-flip bucket —
+    the classical multi-probe LSH trick: ~bits+1 probes buys most of the
+    recall another whole table would).
 
-    The 100-TB path: bucket is a shuffle/partition key; each bucket is a small
-    local problem. Recall < 1 by construction (rows-only check, no oracle)."""
-    base = _with_norm(_emb(spark, sf_dir)).withColumn("bucket", srp_bucket_udf(F.col("v")))
+    The 100-TB path: bucket is the shuffle/partition key; each bucket is a
+    small local problem and the probe fan-out is logarithmic. Recall < 1 by
+    construction (rows-only driver check); the registered ann_recall_srp
+    query quantifies recall against the exact baseline per query."""
+    base = _with_norm(_emb(spark, sf_dir))
+    if bits is None:
+        bits = srp_bits_for(base.count())
+    base = base.withColumn("bucket", _srp_bucket_udf(bits)(F.col("v")))
+    flips = [F.col("bucket")] + (
+        [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]
+        if probe_hamming >= 1
+        else []
+    )
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
-        "bucket",
+        F.explode(F.array(*flips)).alias("bucket"),
     )
     cand = base.select(F.col("vec_id").alias("neighbor_id"), "v", "norm", "bucket").join(
         F.broadcast(queries), "bucket"
@@ -368,4 +401,29 @@ def emb_near_dup_bucketed(
         cand.withColumn("sim", sim)
         .filter(F.col("sim") >= tau)
         .select("vec1", "vec2", "sim")
+    )
+
+
+def ann_recall_srp(
+    spark: SparkSession, sf_dir: str, k: int = ANN_K, query_mod: int = 20
+) -> DataFrame:
+    """Quantitative recall@k of the SRP multi-probe ANN against the exact
+    brute-force baseline → (query_id, recall). This turns the approximate
+    path's rows-only status into a measured number: the golden twin
+    (fixtures_text.ensure_golden_recall_srp) replays both sides with
+    left-fold dot products and plain-python hyperplanes.
+
+    Plan: both sides are the already-registered queries; the evaluation
+    itself is a broadcast-size semi join + per-query count."""
+    exact = ann_topk_bruteforce(spark, sf_dir, k=k, query_mod=query_mod)
+    approx = ann_topk_srp(spark, sf_dir, k=k, query_mod=query_mod)
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / float(k)).alias("recall"),
     )

@@ -384,3 +384,82 @@ def ensure_meta_corrupt(n: int) -> str:
         schema = pa.schema([("image_id", pa.string()), ("k", pa.string()), ("v", pa.string())])
         pq.write_table(pa.Table.from_pandas(out, schema=schema, preserve_index=False), p)
     return p
+
+
+def ensure_golden_recall_srp(
+    sf_dir: str, k: int = 10, query_mod: int = 20, seed: int = 1234
+) -> str:
+    """(query_id, recall) — independent replay of BOTH sides of the ANN
+    recall evaluation: exact cosine top-k (operators/similarity.
+    ann_topk_bruteforce spec) and SRP-bucketed top-k (ann_topk_srp spec:
+    hyperplanes u01(splitmix64(i + seed))*2-1, bucket = packed sign bits),
+    then recall@k = |approx ∩ exact| / k per query.
+
+    Dot products are LEFT FOLDS in array order (one accumulation per
+    dimension) — the exact arithmetic of Spark's aggregate(zip_with(...)),
+    not a BLAS matmul."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    p = os.path.join(fixtures.DATA_DIR, f"golden_recall_srp_{base}.parquet")
+    if not os.path.exists(p):
+        import numpy as np
+
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = emb["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(emb["embedding"].to_numpy())[order].astype(np.float64)
+        n, dim = m.shape
+        # bucket-width scaling law — must mirror similarity.srp_bits_for
+        import math
+
+        bits = max(4, int(math.floor(math.log2(max(n, 64) / 32.0))))
+
+        def fold_dot(a, b):
+            # sequential left fold over dimensions, vectorized across rows
+            acc = np.zeros(a.shape[0], dtype=np.float64)
+            for d in range(a.shape[1]):
+                acc = acc + a[:, d] * b[:, d]
+            return acc
+
+        norms = np.sqrt(fold_dot(m, m))
+        # SRP planes from the plain-python splitmix64 (independent impl)
+        planes = np.array(
+            [
+                (_sm64(i + seed) >> 11) / float(1 << 53) * 2.0 - 1.0
+                for i in range(bits * dim)
+            ],
+            dtype=np.float64,
+        ).reshape(bits, dim)
+        # bucket per vector: packed sign bits of left-fold dots
+        bucket = np.zeros(n, dtype=np.int64)
+        for bi in range(bits):
+            pb = np.broadcast_to(planes[bi], m.shape)
+            bucket |= (fold_dot(m, pb) > 0).astype(np.int64) << bi
+        qmask = ids % query_mod == 0
+        rows = []
+        for qi in np.flatnonzero(qmask):
+            others = np.flatnonzero(ids != ids[qi])
+            qv = np.broadcast_to(m[qi], (len(others), dim))
+            sims = np.round(
+                fold_dot(qv, m[others]) / (norms[qi] * norms[others]), 6
+            )
+            rank = np.lexsort((ids[others], -sims))
+            exact = set(ids[others[rank[:k]]])
+            # multi-probe: own bucket + every Hamming-1 bucket
+            probes = {int(bucket[qi])} | {
+                int(bucket[qi]) ^ (1 << i) for i in range(bits)
+            }
+            in_b = others[np.isin(bucket[others], list(probes))]
+            if len(in_b):
+                qvb = np.broadcast_to(m[qi], (len(in_b), dim))
+                sims_b = np.round(
+                    fold_dot(qvb, m[in_b]) / (norms[qi] * norms[in_b]), 6
+                )
+                rank_b = np.lexsort((ids[in_b], -sims_b))
+                approx = set(ids[in_b[rank_b[:k]]])
+            else:
+                approx = set()
+            rows.append((int(ids[qi]), len(exact & approx) / float(k)))
+        out = pd.DataFrame(rows, columns=["query_id", "recall"])
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p

@@ -117,3 +117,28 @@ def test_partitioned_layout_prunes_directories(spark, fx, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and f"= {some_cell}" in pf[0].replace("L", ""), pf
     assert 0 < pruned.count() < back.count()
+
+
+def test_emb_near_dup_bucketed_no_cartesian(spark):
+    """The bucketed near-dup must plan as an equi-join on (band_id, key) —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (the round-1
+    all-pairs scale-killer this operator replaces)."""
+    from temp_c__bpf_osm_reader_spark.operators import similarity
+
+    df = similarity.emb_near_dup_bucketed(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ann_recall_srp_threshold(spark):
+    """Multi-probe SRP with n-scaled bucket width must reach a useful recall
+    on uniform embeddings (the regime hardest for LSH) — guards against the
+    fixed-bit regression where every vector sat alone in its bucket."""
+    from temp_c__bpf_osm_reader_spark.operators import similarity
+
+    pdf = similarity.ann_recall_srp(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(pdf) == 25
+    assert pdf["recall"].mean() >= 0.35, pdf["recall"].mean()
+    assert (pdf["recall"] > 0).all()
