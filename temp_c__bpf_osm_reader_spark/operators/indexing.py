@@ -132,8 +132,13 @@ def tile_assignment(points: DataFrame, res: int = 7) -> DataFrame:
 
 
 def tile_assignment_scalable(
-    points: DataFrame, res: int = 7, partitions: int | None = None
-) -> DataFrame:
+    points: DataFrame,
+    res: int = 7,
+    partitions: int | None = None,
+    keep_cols: tuple[str, ...] = (),
+    return_rp: bool = False,
+    bounds=None,
+):
     """Byte-identical to tile_assignment, but without the one-task-per-cell
     window bottleneck: at 10^12 rows a hot cell (Zipf head) would serialize an
     entire reducer. Instead:
@@ -145,6 +150,24 @@ def tile_assignment_scalable(
       3. mapInPandas assigns order_ = local running rank + offset.
 
     Output equality with tile_assignment is pinned by test_spark_geo.
+
+    keep_cols: extra point columns carried through the shuffle and emitted
+    untouched alongside (cell_id, image_id, order_) — lets downstream
+    consumers (e.g. the PIP join) reuse the SAME range-shuffled cached data
+    instead of a second materialization of the points (one cache fill and one
+    full pass fewer in the fused flagship pipeline).
+
+    bounds: optional precomputed range cut points [(cell_id, image_id), ...]
+    (partitions-1 of them, ascending). repartitionByRange SAMPLES its input to
+    find bounds — a full extra pass over the upstream plan (for the flagship,
+    a second whole geolocate). With bounds supplied, rows route DIRECTLY to
+    their partition through a codegen searchsorted + magic-key hash
+    repartition (magic_partition_keys), skipping the sample pass entirely —
+    the write-time bucketing pattern: on a real lakehouse the bounds come
+    from table statistics (manifests), not a per-job sample. Output is
+    byte-identical as long as bounds are ascending (balance, not placement,
+    is all sampling ever bought). Bounds quality only affects partition
+    balance, never correctness.
     """
     import numpy as np
     import pandas as pd
@@ -156,12 +179,27 @@ def tile_assignment_scalable(
     cell = F.col(f"cell_r{res}") if f"cell_r{res}" in points.columns else grid_cell_col(
         F.col("lat"), F.col("lon"), res
     )
-    rp = (
-        points.select(cell.alias("cell_id"), "image_id")
-        .repartitionByRange(partitions, "cell_id", "image_id")
-        .sortWithinPartitions("cell_id", "image_id")
-        .cache()
-    )
+    sel = points.select(cell.alias("cell_id"), "image_id", *keep_cols)
+    if bounds is not None:
+        magic = magic_partition_keys(partitions)
+        # LongType matters: HashPartitioning murmur3-hashes an INT over 4
+        # bytes but a BIGINT over 8 — magic keys are computed for BIGINT
+        route = F.element_at(
+            F.array(*[F.lit(m).cast("long") for m in magic]),
+            bounds_bucket_col(F.col("cell_id"), F.col("image_id"), bounds) + 1,
+        )
+        routed = sel.withColumn("_route", route).repartition(partitions, "_route")
+        rp = (
+            routed.drop("_route")
+            .sortWithinPartitions("cell_id", "image_id")
+            .cache()
+        )
+    else:
+        rp = (
+            sel.repartitionByRange(partitions, "cell_id", "image_id")
+            .sortWithinPartitions("cell_id", "image_id")
+            .cache()
+        )
     stats = (
         rp.withColumn("pid", F.spark_partition_id())
         .groupBy("pid", "cell_id")
@@ -218,11 +256,23 @@ def tile_assignment_scalable(
                     rb.column(names.index("cell_id")),
                     rb.column(names.index("image_id")),
                     pa.array(order, type=pa.int32()),
-                ],
-                names=["cell_id", "image_id", "order_"],
+                ]
+                + [rb.column(names.index(c)) for c in keep_cols],
+                names=["cell_id", "image_id", "order_", *keep_cols],
             )
 
-    return rp.mapInArrow(assign, schema="cell_id long, image_id string, order_ int")
+    keep_schema = "".join(
+        f", {c} double" for c in keep_cols
+    )  # passthrough cols are lat/lon doubles
+    tiles = rp.mapInArrow(
+        assign, schema="cell_id long, image_id string, order_ int" + keep_schema
+    )
+    if return_rp:
+        # hand the cached range-shuffled frame to callers that want to reuse
+        # the SAME materialization (e.g. the PIP join) without paying the
+        # assign() Arrow round-trip again
+        return tiles, rp
+    return tiles
 
 
 def write_partitioned(
@@ -256,3 +306,54 @@ def write_indexed(points: DataFrame, path: str, res: int = 7, buckets: int = 64)
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ------------------------------------------------ direct-routed tile shuffle
+
+def _mmh3_long(v: int, seed: int = 42) -> int:
+    """Spark's Murmur3 x86_32 of a BIGINT (two LE 32-bit words) — matches
+    F.hash(bigint) exactly (verified against the JVM)."""
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    for k in ((v & 0xFFFFFFFF), ((v >> 32) & 0xFFFFFFFF)):
+        k = rotl((k * c1) & 0xFFFFFFFF, 15)
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = (rotl(h, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 8
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h if h < 0x80000000 else h - 0x100000000
+
+
+def magic_partition_keys(n: int) -> list[int]:
+    """Smallest non-negative ints m_0..m_{n-1} with pmod(murmur3(m_i), n) == i:
+    routing rows to `repartition(n, key)` with key = m_i lands them EXACTLY in
+    partition i. This turns hash repartitioning into direct addressing."""
+    found: dict[int, int] = {}
+    m = 0
+    while len(found) < n:
+        r = _mmh3_long(m) % n
+        if r not in found:
+            found[r] = m
+        m += 1
+    return [found[i] for i in range(n)]
+
+
+def bounds_bucket_col(cell: Column, image_id: Column, bounds) -> Column:
+    """searchsorted((cell, image_id), bounds) as a codegen-able JVM expression:
+    bucket = #bounds strictly below the row's (cell, image_id)."""
+    b = F.lit(0)
+    for c, i in bounds:
+        b = b + F.when(
+            (cell > F.lit(int(c)))
+            | ((cell == F.lit(int(c))) & (image_id > F.lit(str(i)))),
+            1,
+        ).otherwise(0)
+    return b

@@ -96,3 +96,45 @@ def test_pip_join_plan_is_broadcast(spark, fx, polygons_pdf):
     pts = load_points(spark, fx)
     plan = spatial_join.pip_join(pts, polygons_pdf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # big side never shuffles
+
+
+def test_tile_assignment_bounds_routing_equals_window_variant(spark, fx):
+    """Direct-routed shuffle (precomputed bounds + magic-key addressing) must
+    be byte-identical to the window variant — including deliberately BAD
+    (unbalanced) bounds, since bounds affect balance only, never placement."""
+    import numpy as np
+
+    pts = load_points(spark, fx)
+    a = indexing.tile_assignment(pts, 7).toPandas().sort_values(
+        ["cell_id", "order_"], ignore_index=True
+    )
+    pdf = pts.select(
+        indexing.grid_cell_col(F.col("lat"), F.col("lon"), 7).alias("cell_id"),
+        "image_id",
+    ).toPandas()
+    order = np.lexsort((pdf["image_id"].to_numpy(), pdf["cell_id"].to_numpy()))
+    n_parts = 7
+    cuts = [len(order) * k // n_parts for k in range(1, n_parts)]
+    good = [
+        (int(pdf["cell_id"].iloc[order[c]]), pdf["image_id"].iloc[order[c]])
+        for c in cuts
+    ]
+    # skewed bounds: all cuts bunched at the low end of the key space
+    bad = good[:2] * 3
+    for bounds in (good, sorted(bad)):
+        b = (
+            indexing.tile_assignment_scalable(pts, 7, partitions=n_parts, bounds=bounds)
+            .toPandas()
+            .sort_values(["cell_id", "order_"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_magic_partition_keys_route_exactly(spark):
+    """pmod(murmur3(m_i), n) == i for every magic key — the direct-addressing
+    contract (python murmur3 twin must match the JVM's F.hash on BIGINT)."""
+    for n in (4, 7, 16, 32):
+        magic = indexing.magic_partition_keys(n)
+        df = spark.createDataFrame([(m,) for m in magic], "m bigint")
+        got = [r[0] for r in df.select(F.pmod(F.hash("m"), F.lit(n))).collect()]
+        assert got == list(range(n)), (n, magic, got)
