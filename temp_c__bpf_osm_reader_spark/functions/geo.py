@@ -227,7 +227,9 @@ def point_in_polygon(lat: np.ndarray, lon: np.ndarray, ring_lat: np.ndarray, rin
     yi, yj = ry[None, :], np.roll(ry, -1)[None, :]
     xi, xj = rx[None, :], np.roll(rx, -1)[None, :]
     cond = (yi > y) != (yj > y)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # near-horizontal edges overflow the division to ±inf; those lanes are
+    # masked out by `cond` (the half-open rule), so silence all three classes
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         x_cross = (xj - xi) * (y - yi) / (yj - yi) + xi
     crossings = cond & (x < x_cross)
     return (crossings.sum(axis=1) % 2).astype(bool)

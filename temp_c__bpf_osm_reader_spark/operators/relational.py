@@ -452,3 +452,110 @@ def denotation_count(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFra
         F.count("polygon_id").alias("n_pol"),
         F.count("collection_id").alias("n_col"),
     )
+
+
+def ref_query_pack(
+    spark: SparkSession,
+    sf_dir: str,
+    images_path: str,
+    eav_path: str,
+    collections_path: str,
+) -> DataFrame:
+    """The reference's small ad-hoc `queries/` corpus, transcribed 1:1 into
+    one uniform (query, c1, c2, cnt) table — a user of the reference can run
+    every one of these today; this is their home here. Sources map
+    tag→eav_all, nod→images (geolocated), nod_way→tile assignment cells,
+    addr→the addr.sql pivot. Branches:
+
+      most_frequent_keys    queries/most-frequent-keys.sql (count by k)
+      most_frequent_values  queries/most-frequent-values.sql (top-100 by v;
+                            ties pinned by (cnt desc, v) — the reference's
+                            bare LIMIT is order-nondeterministic)
+      frequency_values      queries/frequency-values.sql (HAVING cnt > 1000,
+                            threshold scaled to the corpus)
+      count_objects         queries/count-objects.sql (4 entity counts)
+      v_length_1            queries/v-length=1.sql (count by (k,v))
+      max_length_k/_v       queries/max-length-k-v-in-tag.sql
+      length_k_gt_30        queries/length-k-gt-30.sql (as a count)
+      urls                  queries/urls.sql (as a count)
+      v_like_Q              queries/v-like-Q.sql (LIKE 'Q%' per k)
+      min/max_lat/lon       queries/min-max-lat-lon.sql (1e-7 fixed-point,
+                            the reference's native coordinate encoding)
+      cnt_nodes_in_way      queries/cnt-nodes-in-way.sql (top-100 cells,
+                            ties pinned by (cnt desc, cell))
+      lonely_addresses      queries/lonely-addresses.sql (pivot 2 keys per
+                            image entity, group by the pair)
+
+    queries/typos.sql and tag-count=1.sql are bare LIMIT samples with no
+    ORDER BY tie-break — row-set-nondeterministic by construction — and are
+    deliberately not transcribed (their capability classes, LIKE scans and
+    frequency joins, are covered by the branches above).
+    """
+    from ..operators import indexing
+
+    eav = spark.read.parquet(eav_path)
+    images = spark.read.parquet(images_path)
+    pts = indexing.geolocate(images.select("image_id", "phash"))
+    S = lambda x: F.lit(x).cast("string")  # noqa: E731
+    NL = F.lit(None).cast("string")
+
+    def pack(q, c1, c2, cnt):
+        return [S(q).alias("query"), c1.alias("c1"), c2.alias("c2"), cnt.cast("bigint").alias("cnt")]
+
+    branches = [
+        eav.groupBy("k").count().select(*pack("most_frequent_keys", F.col("k"), NL, F.col("count"))),
+        (
+            eav.groupBy("v").count()
+            .orderBy(F.col("count").desc(), F.col("v"))
+            .limit(100)
+            .select(*pack("most_frequent_values", F.col("v"), NL, F.col("count")))
+        ),
+        (
+            eav.groupBy("v").count().filter(F.col("count") > 1000)
+            .select(*pack("frequency_values", F.col("v"), NL, F.col("count")))
+        ),
+        images.agg(F.count(F.lit(1)).alias("n")).select(*pack("count_objects", S("images"), NL, F.col("n"))),
+        eav.agg(F.countDistinct("polygon_id").alias("n")).select(*pack("count_objects", S("polygons"), NL, F.col("n"))),
+        spark.read.parquet(collections_path)
+        .agg(F.countDistinct("collection_id").alias("n"))
+        .select(*pack("count_objects", S("collections"), NL, F.col("n"))),
+        eav.agg(F.count(F.lit(1)).alias("n")).select(*pack("count_objects", S("tags"), NL, F.col("n"))),
+        (
+            eav.filter(F.length("v") == 1).groupBy("k", "v").count()
+            .select(*pack("v_length_1", F.col("k"), F.col("v"), F.col("count")))
+        ),
+        eav.agg(F.max(F.length("k")).alias("m")).select(*pack("max_length_k", NL, NL, F.col("m"))),
+        eav.agg(F.max(F.length("v")).alias("m")).select(*pack("max_length_v", NL, NL, F.col("m"))),
+        eav.filter(F.length("k") > 30).agg(F.count(F.lit(1)).alias("n")).select(*pack("length_k_gt_30", NL, NL, F.col("n"))),
+        eav.filter(F.lower(F.col("v")).like("http%")).agg(F.count(F.lit(1)).alias("n")).select(*pack("urls", NL, NL, F.col("n"))),
+        (
+            eav.filter(F.col("v").like("Q%")).groupBy("k").count()
+            .select(*pack("v_like_Q", F.col("k"), NL, F.col("count")))
+        ),
+        pts.agg(F.round(F.min("lon") * 1e7).alias("x")).select(*pack("min_lon", NL, NL, F.col("x"))),
+        pts.agg(F.round(F.min("lat") * 1e7).alias("x")).select(*pack("min_lat", NL, NL, F.col("x"))),
+        pts.agg(F.round(F.max("lon") * 1e7).alias("x")).select(*pack("max_lon", NL, NL, F.col("x"))),
+        pts.agg(F.round(F.max("lat") * 1e7).alias("x")).select(*pack("max_lat", NL, NL, F.col("x"))),
+        (
+            pts.select(indexing.grid_cell_col(F.col("lat"), F.col("lon"), 7).alias("cell_id"))
+            .groupBy("cell_id").count()
+            .orderBy(F.col("count").desc(), F.col("cell_id"))
+            .limit(100)
+            .select(*pack("cnt_nodes_in_way", F.col("cell_id").cast("string"), NL, F.col("count")))
+        ),
+        (
+            eav.filter(F.col("image_id").isNotNull())
+            .groupBy("image_id")
+            .agg(
+                F.max(F.when(F.col("k") == "place", F.col("v"))).alias("place"),
+                F.max(F.when(F.col("k") == "style", F.col("v"))).alias("style"),
+            )
+            .groupBy("place", "style")
+            .count()
+            .select(*pack("lonely_addresses", F.col("place"), F.col("style"), F.col("count")))
+        ),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
