@@ -65,6 +65,8 @@ def get_spark(
         # deterministic float aggregation order is NOT assumed anywhere;
         # outputs that feed golden checks round/sort explicitly instead
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Python Data Source V2 filter pushdown (osmxml shard pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
