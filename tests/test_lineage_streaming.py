@@ -123,3 +123,45 @@ def test_salted_repartition_spreads_hot_key(spark):
         .count()
     )
     assert parts > 1  # the hot key spans multiple partitions
+
+
+def test_osmxml_stream_reader_incremental(spark, tmp_path):
+    """Streaming twin of the reference's block-at-a-time read: shards are
+    consumed exactly once in filename order, late-arriving shards picked up
+    by the next trigger, stream total == batch total."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from temp_c__bpf_osm_reader_spark.sources import fixtures, osm_datasource, xml_source
+
+    images = pd.read_parquet(fixtures.ensure_images(1060)).head(30)
+    d = str(tmp_path / "shards")
+    xml_source.write_osm_xml(images.head(20), d, per_file=10)  # part-00000/1
+    extra = str(tmp_path / "extra")
+    xml_source.write_osm_xml(images.tail(10).reset_index(drop=True), extra, per_file=10)
+    osm_datasource.register(spark)
+    q = (
+        spark.readStream.format("osmxml")
+        .option("what", "nodes")
+        .load(d)
+        .writeStream.format("memory")
+        .queryName("osm_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT count(*) FROM osm_stream_t").first()[0] == 20
+    # a new shard arrives; the next start from the same checkpointless memory
+    # stream would re-read — instead verify the offset logic directly
+    rd = osm_datasource.OsmXmlStreamReader({"path": d, "what": "nodes"})
+    it, off = rd.read({"shard": 0})
+    assert off == {"shard": 2} and sum(1 for _ in it) == 20
+    shutil.copy(os.path.join(extra, "part-00000.osm"), os.path.join(d, "part-00002.osm"))
+    it2, off2 = rd.read(off)
+    rows2 = list(it2)
+    assert off2 == {"shard": 3} and len(rows2) == 10
+    # replay determinism: committed range re-read is identical
+    replay = list(rd.readBetweenOffsets({"shard": 2}, {"shard": 3}))
+    assert replay == rows2
