@@ -144,3 +144,76 @@ def test_blocks_roundtrip_numpy():
     assert len(bl) == 3
     ids = np.cumsum(np.asarray(bl.iloc[1]["id_delta"]))
     assert ids[0] == 100 and ids[-1] == 199
+
+
+def test_decode_batch_equals_scalar_decode():
+    """Whole-batch decode must be byte-identical to the scalar decoder on the
+    committed mixed-format fixture, and raise its exact errors."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from temp_c__bpf_osm_reader_spark.functions import codec
+    from temp_c__bpf_osm_reader_spark.sources import fixtures
+
+    df = pd.read_parquet(fixtures.ensure_images(1060))
+    w, h, f = df["w"].to_numpy(), df["h"].to_numpy(), df["fmt"].to_numpy()
+    flat, off = codec.decode_batch(df["bytes"], w, h, f)
+    for i in range(0, len(df), 97):
+        px = codec.decode(df["bytes"].iloc[i], int(w[i]), int(h[i]), f[i])
+        assert np.array_equal(px, flat[off[i] : off[i + 1]])
+    with pytest.raises(ValueError, match="raw payload size"):
+        codec.decode_batch([b"xx"], np.array([2]), np.array([2]), np.array(["raw"]))
+    with pytest.raises(ValueError, match="odd length"):
+        codec.decode_batch([b"xxx"], np.array([2]), np.array([2]), np.array(["rle"]))
+    with pytest.raises(ValueError, match="rle decoded size"):
+        codec.decode_batch([b"\x03\x05"], np.array([2]), np.array([2]), np.array(["rle"]))
+    with pytest.raises(NotImplementedError):
+        codec.decode_batch([b""], np.array([1]), np.array([1]), np.array(["jpeg"]))
+    # empty batch
+    flat0, off0 = codec.decode_batch(
+        [], np.array([], dtype=np.int64), np.array([], dtype=np.int64), np.array([], dtype=object)
+    )
+    assert flat0.size == 0 and list(off0) == [0]
+
+
+def test_batch_text_kernels_equal_reference_path():
+    """minhash_sigs_batch / simhash_batch vs the spec's per-document
+    formulation, including edge shapes (empties, runs of spaces, unicode,
+    short docs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from temp_c__bpf_osm_reader_spark.functions.hashing import (
+        fnv1a64_str_array,
+        minhash_params,
+        minhash_sigs_batch,
+        minhash_signature,
+        simhash64,
+        simhash_batch,
+    )
+
+    def shingles(text, n=3):
+        toks = text.split(" ")
+        if len(toks) < n:
+            return [" ".join(toks)]
+        return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+    texts = [
+        "", " ", "  ", "a", "a b", "a b c", "a b c d", "a  b   c",
+        " leading", "trailing ", "α β γ δ 中文 字 符", "x " * 200,
+        "same same same same", "a b c a b c a b c",
+    ]
+    arr = pa.array(texts, type=pa.string())
+    a, b = minhash_params(64, seed=7)
+    ref_m = np.stack([minhash_signature(fnv1a64_str_array(shingles(t)), a, b) for t in texts])
+    assert np.array_equal(minhash_sigs_batch(arr), ref_m)
+    ref_s = np.array(
+        [simhash64(fnv1a64_str_array(list(dict.fromkeys(t.split(" "))))) for t in texts],
+        dtype=np.int64,
+    )
+    assert np.array_equal(simhash_batch(arr), ref_s)
+    # sliced arrow arrays (non-zero offset) must decode identically
+    sl = arr.slice(3, 8)
+    assert np.array_equal(minhash_sigs_batch(sl), ref_m[3:11])
+    assert np.array_equal(simhash_batch(sl), ref_s[3:11])
