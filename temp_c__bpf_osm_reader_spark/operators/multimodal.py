@@ -215,3 +215,49 @@ def block_mean_features(spark: SparkSession, sf_dir: str, grid: int = 4) -> Data
         return pd.Series(list(out))
 
     return images.select("image_id", feat("bytes", "w", "h", "fmt").alias("features"))
+
+
+def audio_window_energy(spark: SparkSession, sf_dir: str, win: int = 512) -> DataFrame:
+    """Audio leg of the multimodal family: PCM16 clips (opaque binary +
+    typed metadata) → per-window exact energy, 1→many rows via mapInPandas.
+
+    Whole-batch kernel: all clips' bytes join into one int16 buffer, window
+    energies come from one np.add.reduceat over x² at precomputed window
+    boundaries — no per-clip Python loop (same shape as decode_batch).
+    Energy is an exact int64 sum of int32 squares, so the plain-python
+    golden (sources/audio.ensure_golden_audio_energy) matches bit-for-bit."""
+    from ..sources import audio as audio_src
+    from ..sources import fixtures as fx
+
+    n = audio_src.n_clips_for(fx.n_images_for_sf(sf_dir))
+    clips = spark.read.parquet(audio_src.ensure_audio(n)).select(
+        "audio_id", "bytes", "n_samples"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            k = len(pdf)
+            if k == 0:
+                continue
+            ns = pdf["n_samples"].to_numpy().astype(np.int64)
+            flat = np.frombuffer(b"".join(pdf["bytes"]), dtype="<i2").astype(np.int64)
+            clip_off = np.concatenate(([0], np.cumsum(ns)))
+            wins_per = (ns + win - 1) // win
+            # window start offsets, per clip, in the flat buffer
+            total_w = int(wins_per.sum())
+            first_w = np.concatenate(([0], np.cumsum(wins_per)))[:-1]
+            wstart = (
+                np.repeat(clip_off[:-1], wins_per)
+                + (np.arange(total_w) - np.repeat(first_w, wins_per)) * win
+            )
+            energy = np.add.reduceat(flat * flat, wstart)
+            win_idx = (np.arange(total_w) - np.repeat(first_w, wins_per)).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"].repeat(wins_per).reset_index(drop=True),
+                    "win_idx": pd.Series(win_idx, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                }
+            )
+
+    return clips.mapInPandas(gen, schema="audio_id string, win_idx int, energy long")
