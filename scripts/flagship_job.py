@@ -53,7 +53,11 @@ def main() -> None:
     from temp_c__bpf_osm_reader_spark.operators import decode, indexing, knn, spatial_join
     from temp_c__bpf_osm_reader_spark.sources import fixtures
 
-    n_parts = args.partitions or args.cores * 4
+    # partitions follow the data when not pinned: ~50k points per partition,
+    # capped by the task-slot multiple — a tiny input must not pay a
+    # 128-partition stats/bounds fixed cost (scaling runs always pin this)
+    n_points_est = fixtures.n_images_for_sf(args.sf_dir) * max(args.replicate, 1)
+    n_parts = args.partitions or min(args.cores * 4, max(8, n_points_est // 50_000))
     fx = fixtures.ensure_all_for_sf(args.sf_dir)
     spark = get_spark(
         app="flagship",
