@@ -483,6 +483,11 @@ def ref_query_pack(
                             the reference's native coordinate encoding)
       cnt_nodes_in_way      queries/cnt-nodes-in-way.sql (top-100 cells,
                             ties pinned by (cnt desc, cell))
+      type_by_entity        queries/type.sql (per-entity-type value counts
+                            for one key, three entity branches; full
+                            deterministic set instead of the reference's
+                            tie-unstable LIMIT 20)
+      tower_types           queries/tower-types.sql (single-key value counts)
       lonely_addresses      queries/lonely-addresses.sql (pivot 2 keys per
                             image entity, group by the pair)
 
@@ -542,6 +547,20 @@ def ref_query_pack(
             .orderBy(F.col("count").desc(), F.col("cell_id"))
             .limit(100)
             .select(*pack("cnt_nodes_in_way", F.col("cell_id").cast("string"), NL, F.col("count")))
+        ),
+        *[
+            eav.filter(F.col(ent).isNotNull() & (F.col("k") == "place"))
+            .groupBy("v").count()
+            .select(*pack("type_by_entity", S(label), F.col("v"), F.col("count")))
+            for ent, label in (
+                ("image_id", "img"),
+                ("polygon_id", "pol"),
+                ("collection_id", "col"),
+            )
+        ],
+        (
+            eav.filter(F.col("k") == "kind").groupBy("v").count()
+            .select(*pack("tower_types", F.col("v"), NL, F.col("count")))
         ),
         (
             eav.filter(F.col("image_id").isNotNull())
