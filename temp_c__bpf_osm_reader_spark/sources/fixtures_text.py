@@ -386,6 +386,19 @@ def ensure_meta_corrupt(n: int) -> str:
     return p
 
 
+def golden_recall_srp_path(
+    sf_dir: str, k: int = 10, query_mod: int = 20, seed: int = 1234
+) -> str:
+    """Cache filename keyed by EVERY parameter that changes the golden's
+    content (k, query_mod, seed) — a default change can't silently reuse a
+    stale replay. (The bits scaling law is keyed implicitly: it is a pure
+    function of n, which sf_dir pins.)"""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        fixtures.DATA_DIR, f"golden_recall_srp_{base}_k{k}_m{query_mod}_s{seed}.parquet"
+    )
+
+
 def ensure_golden_recall_srp(
     sf_dir: str, k: int = 10, query_mod: int = 20, seed: int = 1234
 ) -> str:
@@ -398,8 +411,7 @@ def ensure_golden_recall_srp(
     Dot products are LEFT FOLDS in array order (one accumulation per
     dimension) — the exact arithmetic of Spark's aggregate(zip_with(...)),
     not a BLAS matmul."""
-    base = os.path.basename(os.path.normpath(sf_dir))
-    p = os.path.join(fixtures.DATA_DIR, f"golden_recall_srp_{base}.parquet")
+    p = golden_recall_srp_path(sf_dir, k=k, query_mod=query_mod, seed=seed)
     if not os.path.exists(p):
         import numpy as np
 

@@ -33,7 +33,11 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 SCALE = 10_000_000.0
@@ -84,13 +88,33 @@ class OsmXmlReader(DataSourceReader):
     def pushFilters(self, filters):
         """Accept id-range filters (shard pruning); yield back the rest.
 
-        Only for what='nodes' (tags rows carry no id column)."""
+        Handles =, >, >=, <, <= on `id` — the natural shard-pruning predicate
+        shapes — by folding each into one inclusive [lo, hi] window. Only for
+        what='nodes' (tags rows carry no id column)."""
+
+        def _narrow(lo=None, hi=None):
+            if lo is not None:
+                self._id_lo = lo if self._id_lo is None else max(self._id_lo, lo)
+            if hi is not None:
+                self._id_hi = hi if self._id_hi is None else min(self._id_hi, hi)
+
         for f in filters:
-            if self.what == "nodes" and isinstance(f, EqualTo) and f.attribute == ("id",):
-                v = int(f.value)
-                self._id_lo = v if self._id_lo is None else max(self._id_lo, v)
-                self._id_hi = v if self._id_hi is None else min(self._id_hi, v)
-                continue  # fully handled: shard pruning + exact re-check below
+            if self.what == "nodes" and getattr(f, "attribute", None) == ("id",):
+                if isinstance(f, EqualTo):
+                    _narrow(lo=int(f.value), hi=int(f.value))
+                    continue  # fully handled: shard pruning + exact re-check below
+                if isinstance(f, GreaterThan):
+                    _narrow(lo=int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    _narrow(lo=int(f.value))
+                    continue
+                if isinstance(f, LessThan):
+                    _narrow(hi=int(f.value) - 1)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    _narrow(hi=int(f.value))
+                    continue
             yield f
 
     def partitions(self):
@@ -153,6 +177,15 @@ class OsmXmlReader(DataSourceReader):
 
 
 def register(spark) -> None:
+    """Register the source AND enable Python-source filter pushdown.
+
+    Spark 4 hard-fails ANY read through a reader that overrides pushFilters
+    when `spark.sql.python.filterPushdown.enabled` is false — and false is
+    the session default, so a caller with a default-conf session (the round-2
+    driver environment) would break at plan time. The conf is a runtime-
+    settable SQLConf, so the source's entry point owns it: registering the
+    source is consenting to its pushdown."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OsmXmlDataSource)
 
 
@@ -196,11 +229,18 @@ class OsmXmlStreamReader:
 
     def read(self, start):
         k0 = int(start["shard"])
-        new = [p for p in self._shards() if _shard_index(p) >= k0]
-        if not new:
+        # consume only the CONTIGUOUS prefix of present shard indices: if
+        # shards land out of order (part-00003 before part-00002), stopping at
+        # the first gap means the late shard is picked up by a later batch
+        # instead of being silently skipped forever (offset would have jumped
+        # past it)
+        present = {_shard_index(p): p for p in self._shards() if _shard_index(p) >= k0}
+        k1 = k0
+        while k1 in present:
+            k1 += 1
+        if k1 == k0:
             return iter(()), start
-        k1 = max(_shard_index(p) for p in new) + 1
-        return iter(self._rows_for(new)), {"shard": k1}
+        return iter(self._rows_for([present[k] for k in range(k0, k1)])), {"shard": k1}
 
     def readBetweenOffsets(self, start, end):
         k0, k1 = int(start["shard"]), int(end["shard"])

@@ -165,3 +165,31 @@ def test_osmxml_stream_reader_incremental(spark, tmp_path):
     # replay determinism: committed range re-read is identical
     replay = list(rd.readBetweenOffsets({"shard": 2}, {"shard": 3}))
     assert replay == rows2
+
+
+def test_osmxml_stream_reader_out_of_order_shard(tmp_path):
+    """Shards landing out of order must not be skipped: the offset advances
+    only through the contiguous prefix of present indices, so part-00001
+    arriving after part-00002 is still consumed (no silent data loss)."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from temp_c__bpf_osm_reader_spark.sources import fixtures, osm_datasource, xml_source
+
+    images = pd.read_parquet(fixtures.ensure_images(1060)).head(30)
+    staged = str(tmp_path / "staged")
+    xml_source.write_osm_xml(images, staged, per_file=10)  # part-00000/1/2
+    d = str(tmp_path / "live")
+    os.makedirs(d)
+    # part-00002 lands BEFORE part-00001
+    shutil.copy(os.path.join(staged, "part-00000.osm"), os.path.join(d, "part-00000.osm"))
+    shutil.copy(os.path.join(staged, "part-00002.osm"), os.path.join(d, "part-00002.osm"))
+    rd = osm_datasource.OsmXmlStreamReader({"path": d, "what": "nodes"})
+    it, off = rd.read({"shard": 0})
+    # stops at the gap: only shard 0 consumed, 2 deferred
+    assert off == {"shard": 1} and sum(1 for _ in it) == 10
+    shutil.copy(os.path.join(staged, "part-00001.osm"), os.path.join(d, "part-00001.osm"))
+    it2, off2 = rd.read(off)
+    assert off2 == {"shard": 3} and sum(1 for _ in it2) == 20  # both, in order

@@ -190,3 +190,44 @@ def test_osmxml_filter_pushdown_prunes_shards(spark):
     df = spark.read.format("osmxml").option("what", "nodes").load(d)
     rows = df.filter(df.id == 1040).collect()
     assert len(rows) == 1 and rows[0]["image_id"] == "img_0001040"
+
+
+def test_osmxml_range_filter_pushdown(spark):
+    """Range predicates on id — the shard-pruning shapes users actually
+    write — must prune too, and exact re-check keeps the rows right."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from temp_c__bpf_osm_reader_spark.sources import osm_datasource, xml_source
+
+    d = xml_source.ensure_xml(1060)  # 2 shards of 1000
+    r = osm_datasource.OsmXmlReader({"path": d, "what": "nodes"})
+    rest = list(
+        r.pushFilters([GreaterThanOrEqual(("id",), 1005), LessThan(("id",), 1015)])
+    )
+    assert rest == []
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("part-00001.osm")
+    osm_datasource.register(spark)
+    df = spark.read.format("osmxml").option("what", "nodes").load(d)
+    got = sorted(
+        row["id"] for row in df.filter((df.id >= 1005) & (df.id < 1015)).collect()
+    )
+    assert got == list(range(1005, 1015))
+
+
+def test_osmxml_on_default_conf_session(spark):
+    """The round-2 driver regression: a session where
+    spark.sql.python.filterPushdown.enabled is false (the Spark DEFAULT —
+    only our get_spark enables it) must still be able to run the registered
+    xml_nodes query. register() owns the conf, so q_xml_nodes self-heals."""
+    from temp_c__bpf_osm_reader_spark import api
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    original = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")  # simulate the driver's default session
+        df = api.q_xml_nodes(spark, "/root/testdata/sf0.01")
+        assert df.count() == 10600
+        assert spark.conf.get(key) == "true"  # register() turned it on
+    finally:
+        spark.conf.set(key, original)
