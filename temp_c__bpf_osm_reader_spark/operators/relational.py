@@ -454,6 +454,119 @@ def denotation_count(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFra
     )
 
 
+# --------------------------- queries/ISO3166-1-countries.sql + route family
+
+def iso3166_countries(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFrame:
+    """1:1 transcription of queries/ISO3166-1-countries.sql:1-33 — the
+    reference's only FULL OUTER JOIN plus its N-way left-self-join wide-row
+    assembly, in one query: node-side and rel-side `k='ISO3166-1'` tag slices
+    full-outer-joined on v (countries tagged on a node, a relation, or both),
+    then five left self-joins pull int_name / name / name:en off each side.
+    Entity mapping as everywhere: nod_id→image_id, rel_id→collection_id.
+
+    Plan shape at scale: each tag slice is a pushed-down (k = const) filter
+    over the EAV scan; the full join shuffles both (small) slices on v; each
+    name lookup is a left join on the entity id — AQE broadcasts the filtered
+    slices when small, and at 10^12-row EAV scale all six joins share the
+    entity-id shuffle key, so co-partitioning carries across stages."""
+    eav = spark.read.parquet(eav_path)
+    iso = eav.filter(F.col("k") == "ISO3166-1")
+    n = iso.filter(F.col("image_id").isNotNull()).select(
+        F.col("v").alias("n_v"), F.col("image_id").alias("nod_id")
+    )
+    r = iso.filter(F.col("collection_id").isNotNull()).select(
+        F.col("v").alias("r_v"), F.col("collection_id").alias("rel_id")
+    )
+    iso3166 = n.join(r, n.n_v == r.r_v, "full_outer").select(
+        F.coalesce("n_v", "r_v").alias("v"), "rel_id", "nod_id"
+    )
+    out = iso3166
+    for alias, key, idcol in (
+        ("nam_int", "int_name", "rel_id"),
+        ("nam_r", "name", "rel_id"),
+        ("nam_n", "name", "nod_id"),
+        ("nam_r_en", "name:en", "rel_id"),
+        ("nam_n_en", "name:en", "nod_id"),
+    ):
+        ent = "collection_id" if idcol == "rel_id" else "image_id"
+        t = eav.filter((F.col("k") == key) & F.col(ent).isNotNull()).select(
+            F.col(ent).alias(f"_{alias}_id"), F.col("v").alias(alias)
+        )
+        out = out.join(t, out[idcol] == t[f"_{alias}_id"], "left").drop(f"_{alias}_id")
+    return out.select(
+        "v", "rel_id", "nod_id", "nam_r_en", "nam_n_en", "nam_int", "nam_r", "nam_n"
+    )
+
+
+def route_wide(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFrame:
+    """1:1 transcription of queries/route.sql:1-20 — the reference's
+    join-per-key EAV wide-row assembly (the second workhorse pattern after
+    the max-CASE pivot): five left self-joins of `tag` on rel_id, each pinned
+    to one key, gated on type='route' AND route='hiking'. The WHERE on
+    tag_route.v makes that left join effectively inner, exactly as in the
+    reference.
+
+    All five joins share rel_id as the join key — one co-partitioning, five
+    probe sides; every probe side is a (k = const) filtered slice that AQE
+    broadcasts at this density."""
+    eav = spark.read.parquet(eav_path).filter(F.col("collection_id").isNotNull())
+
+    def tag_slice(alias: str, key: str) -> DataFrame:
+        return eav.filter(F.col("k") == key).select(
+            F.col("collection_id").alias(f"_{alias}_rid"), F.col("v").alias(alias)
+        )
+
+    t_type = tag_slice("tag_type", "type").filter(F.col("tag_type") == "route")
+    out = t_type.withColumnRenamed("_tag_type_rid", "rel_id")
+    for alias, key in (
+        ("tag_route", "route"),
+        ("tag_network", "network"),
+        ("tag_name", "name"),
+        ("tag_osmc", "osmc:symbol"),
+        ("tag_operator", "operator"),
+    ):
+        t = tag_slice(alias, key)
+        out = out.join(t, out.rel_id == t[f"_{alias}_rid"], "left").drop(f"_{alias}_rid")
+    return out.filter(F.col("tag_route") == "hiking").select(
+        "rel_id", "tag_name", "tag_route", "tag_network", "tag_osmc", "tag_operator"
+    )
+
+
+def rel_member_tags(
+    spark: SparkSession,
+    sf_dir: str,
+    collections_path: str,
+    eav_path: str,
+    rel_of: int = 1,
+) -> DataFrame:
+    """1:1 transcription of queries/rel-12120978.sql:1-15 — one relation's
+    node members left-joined to two pinned-key tag slices, with the
+    CAST-to-integer ordering key materialized as a column (`ref_int`; the
+    reference ORDER BY CAST(ref.v AS INTEGER) — emitted as a column here so
+    the capability is value-checked, row order being irrelevant to the
+    comparison). Mapping: rel_mem→collections members, rel_of→collection_id,
+    ref→'q' (numeric-string tag), answer→'noun'."""
+    mem = typed_members(spark, sf_dir, collections_path).filter(
+        (F.col("collection_id") == rel_of) & F.col("image_id").isNotNull()
+    ).select(F.col("image_id").alias("nod_id"))
+    eav = spark.read.parquet(eav_path)
+
+    def tag_slice(alias: str, key: str) -> DataFrame:
+        return eav.filter((F.col("k") == key) & F.col("image_id").isNotNull()).select(
+            F.col("image_id").alias(f"_{alias}_id"), F.col("v").alias(alias)
+        )
+
+    ref = tag_slice("ref_v", "q")
+    ans = tag_slice("ans_v", "noun")
+    return (
+        mem.join(ref, mem.nod_id == ref["_ref_v_id"], "left").drop("_ref_v_id")
+        .join(ans, F.col("nod_id") == ans["_ans_v_id"], "left").drop("_ans_v_id")
+        .select(
+            "nod_id", "ref_v", "ans_v", F.col("ref_v").cast("int").alias("ref_int")
+        )
+    )
+
+
 def ref_query_pack(
     spark: SparkSession,
     sf_dir: str,

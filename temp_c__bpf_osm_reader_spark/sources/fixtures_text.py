@@ -321,8 +321,16 @@ def ensure_eav_all(n: int) -> str:
     (pbf2sqlite.c:460-468: sparse nod_id/way_id/rel_id + k + v) — the input of
     the addr.sql flagship pivot. Entities: images (tags from the caption
     grammar + periodic 'name'), polygons ('kind'/'name', 'place' on even ids),
-    collections ('name', 'place' on ids % 3 == 0)."""
-    p = os.path.join(fixtures.DATA_DIR, f"eav_all_{n}.parquet")
+    collections ('name', 'place' on ids % 3 == 0).
+
+    v2 adds the reference's own key vocabulary so its queries/ corpus
+    transcribes verbatim: 'ISO3166-1' + 'name:en' + 'int_name' (the
+    ISO3166-1-countries.sql full-outer-join family — node-side ISO tags are
+    RARE like real country nodes, collection-side denser), and the route
+    relation keys 'type'/'route'/'network'/'osmc:symbol'/'operator'
+    (route.sql + type-route-route-hiking.sql). Filename versioned: the
+    content changed, so stale caches must not be reused."""
+    p = os.path.join(fixtures.DATA_DIR, f"eav_all_{n}_v2.parquet")
     if not os.path.exists(p):
         from .blocks import caption_tags
 
@@ -337,6 +345,10 @@ def ensure_eav_all(n: int) -> str:
                 rows.append((img, None, None, k, v))
             if i % 3 == 0:
                 rows.append((img, None, None, "name", f"n_{i}"))
+            if i % 7 == 0:
+                rows.append((img, None, None, "name:en", f"en_img_{i}"))
+            if i % 251 == 0:
+                rows.append((img, None, None, "ISO3166-1", f"I{i % 40}"))
         for _, r in polys.iterrows():
             pid = int(r["polygon_id"])
             rows.append((None, pid, None, "kind", r["kind"]))
@@ -345,8 +357,23 @@ def ensure_eav_all(n: int) -> str:
                 rows.append((None, pid, None, "place", f"p{pid % 50}"))
         for c in range(n_coll):
             rows.append((None, None, c, "name", f"coll_{c}"))
+            rows.append((None, None, c, "type", "route"))
             if c % 3 == 0:
                 rows.append((None, None, c, "place", f"p{c % 50}"))
+            if c % 2 == 0:
+                rows.append((None, None, c, "route", "hiking" if c % 4 == 0 else "bus"))
+            else:
+                rows.append((None, None, c, "ISO3166-1", f"I{c % 40}"))
+            if c % 3 == 1:
+                rows.append((None, None, c, "name:en", f"en_col_{c}"))
+            if c % 5 == 0:
+                rows.append((None, None, c, "int_name", f"int_{c}"))
+            if c % 3 == 0:
+                rows.append((None, None, c, "network", f"net_{c % 5}"))
+            if c % 4 == 0:
+                rows.append((None, None, c, "osmc:symbol", f"sym_{c % 6}"))
+            if c % 5 == 2:
+                rows.append((None, None, c, "operator", f"op_{c % 7}"))
         out = pd.DataFrame(
             rows, columns=["image_id", "polygon_id", "collection_id", "k", "v"]
         )
