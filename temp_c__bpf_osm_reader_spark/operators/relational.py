@@ -604,10 +604,41 @@ def ref_query_pack(
       lonely_addresses      queries/lonely-addresses.sql (pivot 2 keys per
                             image entity, group by the pair)
 
+      count_source          queries/count-source.sql (top-200 values of one
+                            pinned key; key mapped source→style, the
+                            fixture's dense free-text key; ties pinned)
+      k_ISO                 queries/k-ISO.sql (GLOB 'ISO*' → LIKE 'ISO%'
+                            prefix scan on k, count per k)
+      k_wikipedia           queries/k-wikipedia.sql (row select: one pinned
+                            key, v NOT LIKE '%:%'; key mapped
+                            wikipedia→name:en; one row per tag, cnt=1)
+      q_rows                queries/Q.sql (row select: v LIKE 'Q%' AND k NOT
+                            IN (...); the reference's bare LIMIT 100 pinned
+                            by ORDER BY (k, c1, c2))
+      denotation_tag        queries/denotation-tag.sql (same-entity tag
+                            self-join: den.k joined to oth.k on nod_id,
+                            group by oth value; keys mapped
+                            denotation→name, description→style)
+      network_values        queries/network.sql (count by v for k='network')
+      type_route_hiking     queries/type-route-route-hiking.sql (3-way tag
+                            self-join on rel_id gated on type=route +
+                            route=hiking, count per k; full deterministic
+                            set instead of the tie-unstable LIMIT 20)
+      required_chars_k/_v/_kv  queries/required-chars-per-tag-{k,v,kv}.sql
+                            (length-weighted storage estimate per key/value,
+                            printf-formatted columns; top-60 by weight, ties
+                            pinned; the kv variant's bare non-aggregated
+                            length(v) — SQLite picks an arbitrary row —
+                            is pinned to max(length(v)))
+
     queries/typos.sql and tag-count=1.sql are bare LIMIT samples with no
     ORDER BY tie-break — row-set-nondeterministic by construction — and are
     deliberately not transcribed (their capability classes, LIKE scans and
     frequency joins, are covered by the branches above).
+    queries/ISO3166-1-node.sql (node-side ISO + per-language name left
+    joins) is the nod_id-keyed variant of ISO3166-1-countries.sql, covered
+    1:1 by iso3166_countries above; pgsize.sql reads SQLite's internal
+    dbstat table — N/A by design.
     """
     from ..operators import indexing
 
@@ -685,6 +716,97 @@ def ref_query_pack(
             .groupBy("place", "style")
             .count()
             .select(*pack("lonely_addresses", F.col("place"), F.col("style"), F.col("count")))
+        ),
+    ]
+
+    # --- r3 additions: the remaining small queries/ files ---
+    ent_id = F.coalesce(
+        F.col("image_id"),
+        F.col("polygon_id").cast("string"),
+        F.col("collection_id").cast("string"),
+    )
+    den = eav.filter((F.col("k") == "name") & F.col("image_id").isNotNull()).select(
+        F.col("image_id").alias("den_id")
+    )
+    oth = eav.filter((F.col("k") == "style") & F.col("image_id").isNotNull())
+    rid_type = eav.filter(
+        (F.col("k") == "type") & (F.col("v") == "route") & F.col("collection_id").isNotNull()
+    ).select(F.col("collection_id").alias("rid_t"))
+    rid_route = eav.filter(
+        (F.col("k") == "route") & (F.col("v") == "hiking") & F.col("collection_id").isNotNull()
+    ).select(F.col("collection_id").alias("rid_r"))
+    branches += [
+        (
+            eav.filter(F.col("k") == "style").groupBy("v").count()
+            .orderBy(F.col("count").desc(), F.col("v")).limit(200)
+            .select(*pack("count_source", F.col("v"), NL, F.col("count")))
+        ),
+        (
+            eav.filter(F.col("k").like("ISO%")).groupBy("k").count()
+            .select(*pack("k_ISO", F.col("k"), NL, F.col("count")))
+        ),
+        (
+            eav.filter((F.col("k") == "name:en") & ~F.col("v").like("%:%"))
+            .select(*pack("k_wikipedia", ent_id, F.col("v"), F.lit(1)))
+        ),
+        (
+            eav.filter(F.col("v").like("Q%") & ~F.col("k").isin("q", "noun"))
+            .select(F.col("k"), ent_id.alias("eid"), F.col("v"))
+            .orderBy("k", "eid", "v").limit(100)
+            .select(*pack("q_rows", F.col("k"), F.col("v"), F.lit(1)))
+        ),
+        (
+            den.join(oth, F.col("den_id") == F.col("image_id"))
+            .groupBy("k", "v").count()
+            .select(*pack("denotation_tag", F.col("k"), F.col("v"), F.col("count")))
+        ),
+        (
+            eav.filter(F.col("k") == "network").groupBy("v").count()
+            .select(*pack("network_values", F.col("v"), NL, F.col("count")))
+        ),
+        (
+            rid_type.join(rid_route, F.col("rid_t") == F.col("rid_r"))
+            .join(eav, F.col("rid_r") == F.col("collection_id"))
+            .groupBy("k").count()
+            .select(*pack("type_route_hiking", F.col("k"), NL, F.col("count")))
+        ),
+        (
+            eav.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("w", F.col("cnt") * F.length("k"))
+            .orderBy(F.col("w").desc(), F.col("k")).limit(60)
+            .select(*pack(
+                "required_chars_k", F.col("k"),
+                F.format_string(
+                    "%8.3f %9d", F.round(F.col("w") / 1024.0 / 1024.1, 3), F.col("cnt")
+                ),
+                F.col("cnt"),
+            ))
+        ),
+        (
+            eav.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("w", F.col("cnt") * F.length("v"))
+            .orderBy(F.col("w").desc(), F.col("v")).limit(60)
+            .select(*pack(
+                "required_chars_v", F.col("v"),
+                F.format_string(
+                    "%8.3f %9d", F.round(F.col("w") / 1024.0 / 1024.0, 3), F.col("cnt")
+                ),
+                F.col("cnt"),
+            ))
+        ),
+        (
+            eav.groupBy("k").agg(
+                F.count(F.lit(1)).alias("cnt"), F.max(F.length("v")).alias("mlv")
+            )
+            .withColumn("w", F.col("cnt") * F.length("k") * F.col("mlv"))
+            .orderBy(F.col("w").desc(), F.col("k")).limit(60)
+            .select(*pack(
+                "required_chars_kv", F.col("k"),
+                F.format_string(
+                    "%8.3f %9d", F.round(F.col("w") / 1024.0 / 1024.1, 3), F.col("cnt")
+                ),
+                F.col("cnt"),
+            ))
         ),
     ]
     out = branches[0]
