@@ -116,23 +116,16 @@ def main() -> None:
     # materialization); lat/lon ride through the shuffle so ONE cached
     # dataset serves tile stats, order assignment, checksum, and the PIP
     # join — one cache fill + one full pass fewer than the unfused form.
-    # Range bounds for the tile shuffle, computed driver-side from the base
-    # table through the SAME frozen numpy spec (the role Iceberg manifest
-    # statistics play on a real lakehouse): repartitionByRange would instead
-    # SAMPLE its input — a second full geolocate pass per run. Bounds only
-    # affect balance, never placement correctness (searchsorted routing).
-    from temp_c__bpf_osm_reader_spark.functions import geo as geo_fns
-    import numpy as np
-
-    base_pdf = pd.read_parquet(fx["images"], columns=["image_id", "phash"])
-    b_ids = (
-        (base_pdf["image_id"] + "#0") if args.replicate > 1 else base_pdf["image_id"]
-    ).tolist()
-    b_lat, b_lon = geo_fns.latlon_from_phash(base_pdf["phash"].to_numpy(), b_ids)
-    b_cell = geo_fns.grid_cell(b_lat, b_lon, 7)
-    b_order = np.lexsort((np.array(b_ids), b_cell))
-    cutpos = [len(b_order) * k // n_parts for k in range(1, n_parts)]
-    bounds = [(int(b_cell[b_order[c]]), b_ids[b_order[c]]) for c in cutpos]
+    # Range bounds for the tile shuffle, from a BOUNDED prefix sample of the
+    # base table through the SAME frozen numpy spec (the role Iceberg
+    # manifest statistics play on a real lakehouse; O(files) driver work,
+    # never O(table)): repartitionByRange would instead SAMPLE its input — a
+    # second full geolocate pass per run. Bounds only affect balance, never
+    # placement correctness (searchsorted routing).
+    bounds = indexing.sample_cell_bounds(
+        fx["images"], n_parts, res=7,
+        id_suffix="#0" if args.replicate > 1 else "",
+    )
 
     t0 = time.time()
     points = indexing.geolocate(images).select("image_id", "lat", "lon")

@@ -112,6 +112,67 @@ def with_cells(df: DataFrame, resolutions=(7, 8, 9), zlevel: int = 12) -> DataFr
     return df
 
 
+def sample_cell_bounds(
+    images_path: str,
+    n_parts: int,
+    res: int = 7,
+    max_rows: int = 8192,
+    id_suffix: str = "",
+) -> list:
+    """Range cut points [(cell_id, image_id), ...] for the tile shuffle from
+    a BOUNDED driver-side read: the first batch of each parquet file, capped
+    at max_rows rows total — O(n_files) driver work and O(max_rows) memory
+    regardless of table size. This plays the role Iceberg manifest
+    statistics play on a real lakehouse; footer min/max stats can't carry
+    the DERIVED cell key (cell = f(phash)), so a bounded prefix sample per
+    file stands in. phash-derived cells are pseudo-random w.r.t. file
+    order, so a prefix sample is unbiased for quantile estimation.
+
+    Bounds affect partition BALANCE only, never output (searchsorted
+    routing in tile_assignment_scalable; output equality is pytest-pinned),
+    so sampled bounds are exactly as correct as full-column bounds — and
+    they remove the O(table) driver read that is a driver OOM at 10^12
+    rows. Deterministic: same files + max_rows -> same bounds, independent
+    of core count (tile_checksum stability across parallelism levels).
+
+    id_suffix: the flagship's replicate mode derives bounds from the '#0'
+    replica's keyspace; the other replicas interleave across the same cuts.
+    """
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..functions import geo as geo_fns
+
+    if os.path.isdir(images_path):
+        paths = sorted(glob.glob(os.path.join(images_path, "*.parquet")))
+    else:
+        paths = [images_path]
+    per_file = max(64, max_rows // max(1, len(paths)))
+    chunks = []
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        try:
+            batch = next(
+                pf.iter_batches(batch_size=per_file, columns=["image_id", "phash"])
+            )
+        except StopIteration:
+            continue
+        finally:
+            pf.close()
+        chunks.append(batch.to_pandas())
+    sample = pd.concat(chunks, ignore_index=True)
+    ids = (sample["image_id"] + id_suffix).tolist()
+    lat, lon = geo_fns.latlon_from_phash(sample["phash"].to_numpy(), ids)
+    cell = geo_fns.grid_cell(lat, lon, res)
+    order = np.lexsort((np.array(ids), cell))
+    cuts = [len(order) * k // n_parts for k in range(1, n_parts)]
+    return [(int(cell[order[c]]), ids[order[c]]) for c in cuts]
+
+
 def tile_assignment(points: DataFrame, res: int = 7) -> DataFrame:
     """Deterministic (cell_id, image_id, order_) table — byte-for-byte stable
     across runs and parallelism levels (north-rule exactness criterion).
