@@ -258,20 +258,29 @@ def main() -> None:
         "xml_nodes",
     ]
     timings: dict[str, float] = {}
-    runs_log: dict[str, list[float]] = {}
+    runs_log: dict[str, list[float]] = {name: [] for name in headline}
     n_images = fixtures.n_images_for_sf(sf_dir)
-    for name in headline:
-        # best-of-2: the shared host shows multi-second steal windows that
-        # can triple a single measurement; the faster attempt is the
-        # steady-state estimate (both attempts are recorded in queries_runs)
-        attempts = []
-        for _ in range(2):
+    # Best-of-3 with attempts interleaved as full PASSES over the suite, not
+    # back-to-back per query: the shared host shows multi-second steal
+    # windows, and consecutive attempts of the same query are time-
+    # correlated — one window poisons both (r2 recorded events_windowed
+    # [4.07, 4.98] back-to-back where the same code measures 0.36-0.48 s in
+    # a quiet window). Pass-interleaving puts ~20 s between a query's
+    # attempts so a window hits different queries in each pass; pass 1 also
+    # serves as per-query first-run warmup (plan compilation + fixture page
+    # cache), which is the steady state a long-lived cluster session runs in.
+    for _pass in range(3):
+        for name in headline:
             t0 = time.time()
             # count() forces the full plan; result sizes are small
             qs[name](spark, sf_dir).count()
-            attempts.append(round(time.time() - t0, 3))
-        runs_log[name] = attempts
-        timings[name] = min(attempts)
+            runs_log[name].append(round(time.time() - t0, 3))
+        # drop caches queries built internally (tile rp reuse, knn rings) so
+        # passes are independent and storage doesn't accumulate across 57
+        # attempts
+        spark.catalog.clearCache()
+    for name in headline:
+        timings[name] = min(runs_log[name])
 
     spatial_wall = timings["geolocate_cells"] + timings["tile_assignment"] + timings["pip_join"]
     spark.stop()
