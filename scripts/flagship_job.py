@@ -137,10 +137,17 @@ def main() -> None:
         return_rp=True,
         bounds=bounds,
     )
+    # sub-phase split for scaling diagnosis: tile_stats is the first action
+    # (geolocate → routed shuffle → sort → cache fill → per-(pid,cell)
+    # stats collect); tile_order is the second (cache read → Arrow order
+    # assign → checksum agg)
+    t_mid = time.time()
     checksum, n_tiles = tiles.select(
         F.sum(F.hash("cell_id", "image_id", "order_").cast("bigint")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    timings["tile_stats"] = round(t_mid - t0, 3)
+    timings["tile_order"] = round(time.time() - t_mid, 3)
     timings["geo_tile"] = round(time.time() - t0, 3)
 
     t0 = time.time()

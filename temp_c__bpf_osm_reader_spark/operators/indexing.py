@@ -230,10 +230,6 @@ def tile_assignment_scalable(
     is all sampling ever bought). Bounds quality only affects partition
     balance, never correctness.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark import TaskContext
-
     spark = points.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism * 2
@@ -261,72 +257,48 @@ def tile_assignment_scalable(
             .sortWithinPartitions("cell_id", "image_id")
             .cache()
         )
+    # order_ is assigned ENTIRELY JVM-side — no second Python crossing.
+    # (Round-3 measurement: an IDENTITY mapInArrow round-trip over the cached
+    # rp costs 16 s @2 pinned cores / 7.2 s @8 and scales at 0.56, while the
+    # same scan + hash agg pure-JVM is 1.6 s / 0.4 s and scales cleanly —
+    # this host's kernel-mediated JVM<->Python IPC neither is cheap nor
+    # scales, and on a real cluster the crossing is still 2x memory traffic.)
+    #
+    # Construction: rows in each cached partition sit in TOTAL order
+    # (cell_id, image_id) — unique keys, so the order is deterministic even
+    # on cache-eviction recompute. monotonically_increasing_id() is
+    # (partition_id << 33) + row_index_in_partition, so within a partition
+    # (mid - min_mid_of_its_cell_run) is the row's position inside its
+    # (partition, cell) run. The same stats pass that always ran now also
+    # collects min(mid) per (partition, cell); the driver turns the
+    # cross-partition prefix counts into one small (pid, cell_id, sub)
+    # table — order_ = mid - sub — applied as a BROADCAST hash join
+    # (≤ partitions × cells-in-range rows, bounded because ranges are
+    # contiguous). Partitions beyond 2^33 rows would overflow the row-index
+    # field (8.6e9 rows per partition — far past any sane task size).
+    with_mid = rp.withColumn("_mid", F.monotonically_increasing_id())
     stats = (
-        rp.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid", "cell_id")
-        .count()
+        with_mid.groupBy(F.spark_partition_id().alias("pid"), "cell_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_mid").alias("min_mid"))
         .collect()
     )
-    by_cell: dict[int, list[tuple[int, int]]] = {}
+    by_cell: dict[int, list[tuple[int, int, int]]] = {}
     for r in stats:
-        by_cell.setdefault(r["cell_id"], []).append((r["pid"], r["count"]))
-    offsets: dict[tuple[int, int], int] = {}
+        by_cell.setdefault(r["cell_id"], []).append((r["pid"], r["cnt"], r["min_mid"]))
+    sub_rows = []
     for cid, lst in by_cell.items():
         lst.sort()
         acc = 0
-        for pid, c in lst:
-            offsets[(pid, cid)] = acc
+        for pid, c, mn in lst:
+            # order_ = (_mid - mn) + acc + 1  ==  _mid - (mn - acc - 1)
+            sub_rows.append((pid, cid, mn - acc - 1))
             acc += c
-    bc = spark.sparkContext.broadcast(offsets)
-
-    def assign(batches):
-        # rows arrive sorted by (cell_id, image_id) → equal cells are
-        # contiguous runs; order_ is vectorized run-length arithmetic (the
-        # Python loop below is per-RUN, not per-row). image_id passes through
-        # as an untouched Arrow column — never materialized in Python.
-        # `seen` only carries a cell split across Arrow batch boundaries.
-        import pyarrow as pa
-
-        pid = TaskContext.get().partitionId()
-        seen: dict[int, int] = {}
-        off = bc.value
-        for rb in batches:
-            names = rb.schema.names
-            cells = rb.column(names.index("cell_id")).to_numpy(zero_copy_only=False)
-            n = len(cells)
-            if n == 0:
-                continue
-            starts = np.flatnonzero(np.r_[True, cells[1:] != cells[:-1]])
-            ends = np.r_[starts[1:], n]
-            run_id = np.zeros(n, dtype=np.int64)
-            run_id[starts] = 1
-            np.cumsum(run_id, out=run_id)
-            run_id -= 1
-            pos_in_run = np.arange(n, dtype=np.int64) - starts[run_id]
-            bases = np.empty(len(starts), dtype=np.int64)
-            for r in range(len(starts)):
-                cid = int(cells[starts[r]])
-                b = seen.get(cid)
-                if b is None:
-                    b = off.get((pid, cid), 0)
-                bases[r] = b
-                seen[cid] = b + int(ends[r] - starts[r])
-            order = (bases[run_id] + pos_in_run + 1).astype(np.int32)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    rb.column(names.index("cell_id")),
-                    rb.column(names.index("image_id")),
-                    pa.array(order, type=pa.int32()),
-                ]
-                + [rb.column(names.index(c)) for c in keep_cols],
-                names=["cell_id", "image_id", "order_", *keep_cols],
-            )
-
-    keep_schema = "".join(
-        f", {c} double" for c in keep_cols
-    )  # passthrough cols are lat/lon doubles
-    tiles = rp.mapInArrow(
-        assign, schema="cell_id long, image_id string, order_ int" + keep_schema
+    sub_df = spark.createDataFrame(sub_rows, schema="pid int, cell_id long, _sub long")
+    tiles = (
+        with_mid.withColumn("pid", F.spark_partition_id())
+        .join(F.broadcast(sub_df), ["pid", "cell_id"])
+        .withColumn("order_", (F.col("_mid") - F.col("_sub")).cast("int"))
+        .select("cell_id", "image_id", "order_", *keep_cols)
     )
     if return_rp:
         # hand the cached range-shuffled frame to callers that want to reuse
