@@ -206,9 +206,11 @@ def tile_assignment_scalable(
 
       1. repartitionByRange(cell_id, image_id) + sortWithinPartitions — hot
          cells SPAN partitions instead of landing on one;
-      2. per-(partition, cell) counts → driver (bounded by #cells + #partitions
-         because ranges are contiguous) → broadcast prefix offsets;
-      3. mapInPandas assigns order_ = local running rank + offset.
+      2. per-(partition, cell) (count, min monotonic id) → driver (bounded by
+         #cells + #partitions because ranges are contiguous) → cross-partition
+         prefix offsets folded into one small (pid, cell_id, sub) table;
+      3. order_ = monotonically_increasing_id() - sub, applied as a broadcast
+         hash join — entirely JVM-side, no second Python crossing.
 
     Output equality with tile_assignment is pinned by test_spark_geo.
 
