@@ -313,11 +313,15 @@ def main() -> None:
         # host (a single busy core gets turbo/cache exclusivity no cluster
         # executor ever sees — measured 134k img/s/core at 1 vs 98k at 2 vs
         # ~85k at 8), which understates the ratio; 2v8 compares two
-        # multi-core configurations, as a cluster would. replicate=240:
+        # multi-core configurations, as a cluster would. replicate=480:
         # stages long enough that the host's bursty multi-second steal
-        # windows average out within a run.
-        replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "240"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        # windows average out within a run (was 240; the round-3 JVM-side
+        # order assignment + plan-shape warmup made the pipeline ~2.3x
+        # faster, so the data is doubled to keep stage lengths comparable).
+        # reps=5: more interleaved pairs tighten the median against the
+        # host's multi-minute contention windows.
+        replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "480"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
         n_small, n_big = 2, 8
         pr = _scaling_pairs(zpath, sf_dir, n_small, n_big, replicate, reps)
         thr_small = pr["small"]["points"] / pr["small"]["pipeline_s"]

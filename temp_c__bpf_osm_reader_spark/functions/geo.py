@@ -22,7 +22,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import splitmix64, fnv1a64_str_array, u01, i64_to_u64
+from .hashing import (
+    splitmix64,
+    fnv1a64_str_array,
+    u01,
+    i64_to_u64,
+    xxh64_long,
+    xxh64_str_array,
+)
 
 # ---------------------------------------------------------------- geolocation
 
@@ -37,26 +44,68 @@ KNN_RINGS = (2, 8, 32)
 def latlon_from_phash(phash: np.ndarray, image_ids) -> tuple[np.ndarray, np.ndarray]:
     """phash (int64[n]) + image_id (str[n]) → (lat, lon) float64 arrays.
 
-    Frozen spec:
-      u = splitmix64(phash); v = splitmix64(u)
+    Frozen spec (v2 — Spark-xxhash64 based so the SAME doubles come out of
+    pure JVM column expressions, see latlon_cols; v1 was splitmix64+FNV,
+    which forced every geolocate through a Python crossing):
+      u  = xxh64(phash)            # Spark xxhash64 long path, seed 42
+      v  = xxh64(u)
+      j1 = xxh64(utf8(image_id))   # Spark xxhash64 string path, seed 42
+      j2 = xxh64(j1)
       base_lat = u01(u)*180 - 90 ; base_lon = u01(v)*360 - 180
-      jseed = fnv1a64(image_id); j1 = splitmix64(jseed); j2 = splitmix64(j1)
       lat = clip(base_lat + (u01(j1)-0.5)*0.2, -90, 90-eps)
-      lon = wrap(base_lon + (u01(j2)-0.5)*0.2) into [-180, 180)
+      lon = wrap(base_lon + (u01(j2)-0.5)*0.2) into [-180, 180]
+    where u01(h) = (h >>> 11) / 2^53 and the lon wrap mirrors Spark's pmod
+    exactly (fmod, then +360 only if negative).
 
     Images sharing a phash (near-duplicates) land in the same ~0.2° pocket →
     realistic hot cells (the skew the salting path handles).
+
+    Bit-equality twin contract: latlon_cols() (JVM expressions) and
+    operators/indexing.geolocate (Arrow kernel calling this) must produce
+    IDENTICAL doubles — pinned by tests/test_spark_geo.py.
     """
-    u = splitmix64(np.asarray(phash, dtype=np.int64))
-    v = splitmix64(u.view(np.int64))
+    u = xxh64_long(np.asarray(phash, dtype=np.int64))
+    v = xxh64_long(u)
     base_lat = u01(u) * 180.0 - 90.0
     base_lon = u01(v) * 360.0 - 180.0
-    jseed = fnv1a64_str_array(image_ids)
-    j1 = splitmix64(jseed.view(np.int64))
-    j2 = splitmix64(j1.view(np.int64))
-    lat = np.clip(base_lat + (u01(j1) - 0.5) * JITTER_DEG, -90.0, 90.0 - LAT_EPS)
+    j1 = xxh64_str_array(image_ids)
+    j2 = xxh64_long(j1)
+    lat = np.minimum(
+        np.maximum(base_lat + (u01(j1) - 0.5) * JITTER_DEG, -90.0), 90.0 - LAT_EPS
+    )
     lon = base_lon + (u01(j2) - 0.5) * JITTER_DEG
-    lon = np.mod(lon + 180.0, 360.0) - 180.0
+    # Spark Pmod(double): r = a % n; if (r < 0) (r + n) % n else r
+    r = np.fmod(lon + 180.0, 360.0)
+    lon = np.where(r < 0.0, np.fmod(r + 360.0, 360.0), r) - 180.0
+    return lat, lon
+
+
+def latlon_cols(image_id_col="image_id", phash_col="phash"):
+    """The SAME frozen spec as latlon_from_phash, as pure-JVM Spark column
+    expressions (built-in xxhash64 + double arithmetic — ANSI-safe, whole-
+    stage-codegen, zero Python crossing). Returns (lat_col, lon_col).
+
+    This is the hot-pipeline form: at cluster scale the Arrow-UDF geolocate
+    pays a JVM<->Python crossing per row that measures ~0.56 scaling
+    efficiency on kernel-mediated IPC (BASELINE.md); the expression form
+    keeps the whole map stage inside Tungsten. Bit-identical outputs —
+    u01, clip, and the pmod wrap are mirrored operation-for-operation.
+    """
+    from pyspark.sql import functions as F
+
+    def u01c(h):
+        return F.shiftrightunsigned(h, 11) / F.lit(float(1 << 53))
+
+    u = F.xxhash64(F.col(phash_col))
+    v = F.xxhash64(u)
+    j1 = F.xxhash64(F.col(image_id_col))
+    j2 = F.xxhash64(j1)
+    base_lat = u01c(u) * 180.0 - 90.0
+    base_lon = u01c(v) * 360.0 - 180.0
+    lat = base_lat + (u01c(j1) - F.lit(0.5)) * JITTER_DEG
+    lat = F.least(F.greatest(lat, F.lit(-90.0)), F.lit(90.0 - LAT_EPS))
+    lon = base_lon + (u01c(j2) - F.lit(0.5)) * JITTER_DEG
+    lon = F.pmod(lon + 180.0, F.lit(360.0)) - 180.0
     return lat, lon
 
 

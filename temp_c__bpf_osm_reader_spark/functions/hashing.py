@@ -300,3 +300,188 @@ def simhash_batch(arr) -> np.ndarray:
         )
         sig |= (votes > 0).astype(U64) << U64(bit)
     return sig.view(np.int64)
+
+
+# ---------------------------------------------------------- Spark XXH64 twin
+#
+# Bit-exact numpy twin of Spark's `xxhash64` SQL function
+# (org.apache.spark.sql.catalyst.expressions.XxHash64 /
+# common/sketch XXH64.java, itself standard xxHash64). This is what lets the
+# geolocate spec live as PURE JVM COLUMN EXPRESSIONS in the hot pipeline
+# (zero Python crossing) while fixtures/goldens/oracles reproduce the exact
+# same doubles driver-side in numpy. Verified property-style against Spark in
+# tests/test_kernels.py::test_xxh64_matches_spark.
+
+_XP1 = U64(0x9E3779B185EBCA87)
+_XP2 = U64(0xC2B2AE3D27D4EB4F)
+_XP3 = U64(0x165667B19E3779F9)
+_XP4 = U64(0x85EBCA77C2B2AE63)
+_XP5 = U64(0x27D4EB2F165667C5)
+XXH64_SEED = U64(42)  # Spark's default seed for xxhash64(...)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << U64(r)) | (x >> U64(64 - r))
+
+
+def _xxh_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> U64(33))
+    h = h * _XP2
+    h = h ^ (h >> U64(29))
+    h = h * _XP3
+    h = h ^ (h >> U64(32))
+    return h
+
+
+def xxh64_long(x: np.ndarray, seed: int | np.uint64 = XXH64_SEED) -> np.ndarray:
+    """Spark `xxhash64(<bigint col>)`: XXH64.hashLong(x, seed) vectorized.
+    Input int64 or uint64 array (bits reinterpreted); returns uint64."""
+    v = np.asarray(x).astype(np.int64, copy=False).view(U64)
+    h = U64(seed) + _XP5 + U64(8)
+    h = np.broadcast_to(h, v.shape).copy() if np.ndim(v) else h
+    k1 = _rotl64(v * _XP2, 31) * _XP1
+    h = h ^ k1
+    h = _rotl64(h, 27) * _XP1 + _XP4
+    return _xxh_fmix(h)
+
+
+def _xxh64_small_bytes(mat: np.ndarray, lens: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """XXH64 over per-row byte slices ALL shorter than 32 bytes.
+    mat: (n, 32) zero-padded little-endian byte matrix; lens: int64[n]."""
+    n = len(lens)
+    words = np.ascontiguousarray(mat).view("<u8")  # (n, 4)
+    ints = np.ascontiguousarray(mat).view("<u4")  # (n, 8)
+    h = np.full(n, U64(seed) + _XP5, dtype=U64) + lens.astype(U64)
+    nwords = lens >> 3
+    for w in range(4):
+        m = nwords > w
+        if not m.any():
+            break
+        k1 = _rotl64(words[m, w] * _XP2, 31) * _XP1
+        hm = h[m] ^ k1
+        h[m] = _rotl64(hm, 27) * _XP1 + _XP4
+    off = (nwords << 3).astype(np.int64)
+    rem = (lens & 7).astype(np.int64)
+    m4 = rem >= 4
+    if m4.any():
+        k = ints[m4, (off[m4] >> 2)].astype(U64)
+        hm = h[m4] ^ (k * _XP1)
+        h[m4] = _rotl64(hm, 23) * _XP2 + _XP3
+        off = off + np.where(m4, 4, 0)
+        rem = rem - np.where(m4, 4, 0)
+    for t in range(3):
+        m = rem > t
+        if not m.any():
+            break
+        b = mat[m, off[m] + t].astype(U64)
+        hm = h[m] ^ (b * _XP5)
+        h[m] = _rotl64(hm, 11) * _XP1
+    return _xxh_fmix(h)
+
+
+def _xxh64_bytes_one(b: bytes, seed: int) -> int:
+    """Reference scalar XXH64 (any length) — fallback for rows >= 32 bytes."""
+    P1, P2, P3, P4, P5 = (int(_XP1), int(_XP2), int(_XP3), int(_XP4), int(_XP5))
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    n = len(b)
+    if n >= 32:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        i = 0
+        while i <= n - 32:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                k = int.from_bytes(b[i + 8 * j : i + 8 * j + 8], "little")
+                v = (v + k * P2) & M
+                v = rotl(v, 31)
+                v = (v * P1) & M
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+        for v in (v1, v2, v3, v4):
+            k = rotl((v * P2) & M, 31)
+            k = (k * P1) & M
+            h ^= k
+            h = ((h * P1) + P4) & M
+    else:
+        h = (seed + P5) & M
+        i = 0
+    h = (h + n) & M
+    while i <= n - 8:
+        k = int.from_bytes(b[i : i + 8], "little")
+        k = rotl((k * P2) & M, 31)
+        k = (k * P1) & M
+        h ^= k
+        h = (rotl(h, 27) * P1 + P4) & M
+        i += 8
+    if i <= n - 4:
+        k = int.from_bytes(b[i : i + 4], "little")
+        h ^= (k * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M
+        i += 4
+    while i < n:
+        h ^= (b[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 33
+    h = (h * P2) & M
+    h ^= h >> 29
+    h = (h * P3) & M
+    h ^= h >> 32
+    return h
+
+
+def xxh64_str_array(strs, seed: int | np.uint64 = XXH64_SEED) -> np.ndarray:
+    """Spark `xxhash64(<string col>)` over an Arrow string array / iterable of
+    str → uint64[n]. Vectorized for byte lengths < 32 (the image_id case);
+    longer rows take a scalar fallback."""
+    import pyarrow as pa
+
+    if isinstance(strs, pa.Array):
+        arr = strs
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        elif not pa.types.is_string(arr.type):
+            raise TypeError(f"xxh64_str_array: expected string array, got {arr.type}")
+    else:
+        arr = pa.array(list(strs), type=pa.string())
+    if arr.null_count:
+        raise ValueError("xxh64_str_array: null strings not allowed")
+    n = len(arr)
+    out = np.empty(n, dtype=U64)
+    if n == 0:
+        return out
+    _, offsets_buf, data_buf = arr.buffers()
+    off = np.frombuffer(offsets_buf, dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    off = off.astype(np.int64)
+    buf = np.frombuffer(data_buf, dtype=np.uint8)
+    lens = np.diff(off)
+    starts = off[:-1]
+    small = lens < 32
+    if small.any():
+        idx = np.flatnonzero(small)
+        sl = lens[idx]
+        mat = np.zeros((len(idx), 32), dtype=np.uint8)
+        maxlen = int(sl.max()) if len(sl) else 0
+        alive = np.arange(len(idx))
+        for j in range(maxlen):
+            alive = alive[sl[alive] > j]
+            mat[alive, j] = buf[starts[idx[alive]] + j]
+        out[idx] = _xxh64_small_bytes(mat, sl, U64(seed))
+    if (~small).any():
+        for i in np.flatnonzero(~small):
+            raw = bytes(buf[starts[i] : starts[i] + lens[i]])
+            out[i] = _xxh64_bytes_one(raw, int(seed))
+    return out

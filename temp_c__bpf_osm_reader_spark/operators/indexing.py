@@ -57,6 +57,26 @@ def geolocate(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     return src.mapInArrow(gen, schema=out_schema)
 
 
+def geolocate_expr(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """geolocate() as pure-JVM column expressions (functions/geo.latlon_cols)
+    — bit-identical output, zero Python crossing, whole-stage codegen.
+
+    This is the hot-pipeline form: the Arrow-kernel geolocate() pays a
+    JVM<->Python crossing that measures ~0.56 scaling efficiency on this
+    host's kernel-mediated IPC and ~8x the per-row cost of the expression
+    form (BASELINE.md round-3 decomposition). geolocate() remains the
+    vectorized-UDF surface (input_hint) and the two are equality-pinned by
+    tests/test_spark_geo.py.
+    """
+    from ..functions.geo import latlon_cols
+
+    keep = ["image_id", *extra_cols]
+    src = df.select(*dict.fromkeys(keep + ["phash"]))
+    out_cols = [f.name for f in src.schema.fields if f.name != "phash" or "phash" in keep]
+    lat, lon = latlon_cols()
+    return src.select(*out_cols, lat.alias("lat"), lon.alias("lon"))
+
+
 def grid_cell_col(lat: Column, lon: Column, res: int) -> Column:
     """int64 cell id — same frozen spec as functions/geo.py:grid_cell."""
     ny, nx = 1 << res, 1 << (res + 1)
@@ -120,13 +140,18 @@ def sample_cell_bounds(
     id_suffix: str = "",
 ) -> list:
     """Range cut points [(cell_id, image_id), ...] for the tile shuffle from
-    a BOUNDED driver-side read: the first batch of each parquet file, capped
-    at max_rows rows total — O(n_files) driver work and O(max_rows) memory
-    regardless of table size. This plays the role Iceberg manifest
-    statistics play on a real lakehouse; footer min/max stats can't carry
-    the DERIVED cell key (cell = f(phash)), so a bounded prefix sample per
-    file stands in. phash-derived cells are pseudo-random w.r.t. file
-    order, so a prefix sample is unbiased for quantile estimation.
+    a BOUNDED driver-side read: row-group batches SPREAD EVENLY across each
+    parquet file, capped at max_rows rows total — O(n_files) driver work and
+    O(max_rows) memory regardless of table size. This plays the role Iceberg
+    manifest statistics play on a real lakehouse; footer min/max stats can't
+    carry the DERIVED cell key (cell = f(phash)), so a bounded scattered
+    sample per file stands in.
+
+    Scattered, not prefix: a prefix sample is only unbiased if key structure
+    is uncorrelated with row order, and the Zipf pattern pool violates that
+    enough to produce 3x-ideal partitions (measured round 3 — the 8-core
+    straggler tail). Evenly-strided batches keep the read bounded while
+    sampling the whole file.
 
     Bounds affect partition BALANCE only, never output (searchsorted
     routing in tile_assignment_scalable; output equality is pytest-pinned),
@@ -156,14 +181,25 @@ def sample_cell_bounds(
     for p in paths:
         pf = pq.ParquetFile(p)
         try:
-            batch = next(
-                pf.iter_batches(batch_size=per_file, columns=["image_id", "phash"])
-            )
-        except StopIteration:
-            continue
+            ngr = pf.metadata.num_row_groups
+            if ngr > 1:
+                # row groups spread evenly across the file — IO stays
+                # bounded (n_keep groups), coverage spans the whole file
+                n_keep = min(ngr, max(2, per_file // 1024))
+                gidx = sorted({g * (ngr - 1) // (n_keep - 1) for g in range(n_keep)})
+                per_group = max(64, per_file // len(gidx))
+                for g in gidx:
+                    tbl = pf.read_row_group(g, columns=["image_id", "phash"]).to_pandas()
+                    step = max(1, len(tbl) // per_group)
+                    chunks.append(tbl.iloc[::step])
+            else:
+                # single row group (small file): one group IS the minimum IO
+                # unit — read it and stride rows in memory for even coverage
+                tbl = pf.read_row_group(0, columns=["image_id", "phash"]).to_pandas()
+                step = max(1, len(tbl) // per_file)
+                chunks.append(tbl.iloc[::step])
         finally:
             pf.close()
-        chunks.append(batch.to_pandas())
     sample = pd.concat(chunks, ignore_index=True)
     ids = (sample["image_id"] + id_suffix).tolist()
     lat, lon = geo_fns.latlon_from_phash(sample["phash"].to_numpy(), ids)
@@ -199,6 +235,7 @@ def tile_assignment_scalable(
     keep_cols: tuple[str, ...] = (),
     return_rp: bool = False,
     bounds=None,
+    router: "CellRouter | None" = None,
 ):
     """Byte-identical to tile_assignment, but without the one-task-per-cell
     window bottleneck: at 10^12 rows a hot cell (Zipf head) would serialize an
@@ -239,7 +276,13 @@ def tile_assignment_scalable(
         F.col("lat"), F.col("lon"), res
     )
     sel = points.select(cell.alias("cell_id"), "image_id", *keep_cols)
-    if bounds is not None:
+    if router is None and bounds is not None and res <= 8:
+        router = CellRouter(spark, bounds, partitions, res=res)
+    if router is not None:
+        rp = router.route(sel).sortWithinPartitions("cell_id", "image_id").cache()
+    elif bounds is not None:
+        # res too fine for a slot map: fall back to the chained-when
+        # searchsorted (O(partitions) per row — fine for small counts)
         magic = magic_partition_keys(partitions)
         # LongType matters: HashPartitioning murmur3-hashes an INT over 4
         # bytes but a BIGINT over 8 — magic keys are computed for BIGINT
@@ -295,7 +338,17 @@ def tile_assignment_scalable(
             # order_ = (_mid - mn) + acc + 1  ==  _mid - (mn - acc - 1)
             sub_rows.append((pid, cid, mn - acc - 1))
             acc += c
-    sub_df = spark.createDataFrame(sub_rows, schema="pid int, cell_id long, _sub long")
+    import pandas as pd  # Arrow path: py4j row-by-row ser of ~#cells rows is
+    import numpy as np   # a measurable driver fixed cost (~1s at 33k cells)
+
+    sub_pdf = pd.DataFrame(
+        {
+            "pid": np.fromiter((r[0] for r in sub_rows), dtype=np.int32, count=len(sub_rows)),
+            "cell_id": np.fromiter((r[1] for r in sub_rows), dtype=np.int64, count=len(sub_rows)),
+            "_sub": np.fromiter((r[2] for r in sub_rows), dtype=np.int64, count=len(sub_rows)),
+        }
+    )
+    sub_df = spark.createDataFrame(sub_pdf, schema="pid int, cell_id long, _sub long")
     tiles = (
         with_mid.withColumn("pid", F.spark_partition_id())
         .join(F.broadcast(sub_df), ["pid", "cell_id"])
@@ -379,6 +432,75 @@ def magic_partition_keys(n: int) -> list[int]:
             found[r] = m
         m += 1
     return [found[i] for i in range(n)]
+
+
+class CellRouter:
+    """Precompiled range router for the tile shuffle: slot -> (base bucket,
+    intra-cell image_id cuts) as a BROADCAST map over the res-r linear cell
+    grid (2^(2r+1) slots; 32k at res 7). Routing a row is then an O(1)
+    broadcast-join probe + at most a couple of string compares (only for
+    rows in one of the <= partitions-1 cut cells) — independent of the
+    partition count, unlike the chained-when searchsorted expression
+    (bounds_bucket_col), whose O(partitions) per-row comparison chain blows
+    past codegen limits and costs 4x wall at 96 partitions (measured r3).
+
+    Build once per job (driver-side, O(slots)); reuse across every stage
+    that shuffles on the same bounds. On a real lakehouse this is the
+    "write-time bucketing spec" artifact: derived from table statistics,
+    shipped to executors as a broadcast.
+    """
+
+    def __init__(self, spark, bounds, partitions: int, res: int = 7):
+        import numpy as np
+        import pandas as pd
+
+        ny, nx = 1 << res, 1 << (res + 1)
+        if ny * nx > (1 << 21):
+            raise ValueError(f"CellRouter: res {res} grid too large to broadcast")
+        self.partitions = partitions
+        self.res = res
+        base_cell = res << RES_SHIFT
+        cut_cells = np.array([c for c, _ in bounds], dtype=np.int64)
+        slots = np.arange(ny * nx, dtype=np.int64)
+        slot_cells = base_cell | ((slots // nx) << I_SHIFT) | (slots % nx)
+        p_lo = np.searchsorted(cut_cells, slot_cells, side="left").astype(np.int32)
+        cuts_in_cell: dict[int, list[str]] = {}
+        for c, i in bounds:
+            cuts_in_cell.setdefault(int(c), []).append(str(i))
+        self._map_pdf = pd.DataFrame(
+            {
+                "_slot": slots,
+                "_plo": p_lo,
+                "_cuts": [cuts_in_cell.get(int(sc)) for sc in slot_cells],
+            }
+        )
+        self._slot_map = spark.createDataFrame(
+            self._map_pdf, schema="_slot long, _plo int, _cuts array<string>"
+        )
+        self._magic = magic_partition_keys(partitions)
+
+    def route(self, sel: DataFrame) -> DataFrame:
+        """sel must carry (cell_id, image_id). Returns sel hash-repartitioned
+        into `partitions` range buckets (ascending by (cell_id, image_id))."""
+        ny, nx = 1 << self.res, 1 << (self.res + 1)
+        slot = (
+            F.shiftright(F.col("cell_id"), I_SHIFT) % (1 << I_SHIFT)
+        ) * nx + F.pmod(F.col("cell_id"), 1 << I_SHIFT)
+        magic_arr = F.array(*[F.lit(int(m)).cast("long") for m in self._magic])
+        bucket = F.col("_plo") + F.when(F.col("_cuts").isNull(), F.lit(0)).otherwise(
+            F.aggregate(
+                F.col("_cuts"),
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("image_id") > c, 1).otherwise(0),
+            )
+        )
+        return (
+            sel.withColumn("_slot", slot)
+            .join(F.broadcast(self._slot_map), "_slot")
+            .withColumn("_route", F.element_at(magic_arr, bucket + 1))
+            .repartition(self.partitions, "_route")
+            .drop("_slot", "_plo", "_cuts", "_route")
+        )
 
 
 def bounds_bucket_col(cell: Column, image_id: Column, bounds) -> Column:

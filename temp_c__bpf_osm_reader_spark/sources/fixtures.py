@@ -103,8 +103,15 @@ def ensure_polygons(m: int) -> str:
     return p
 
 
+# Geolocate-spec tag: every fixture whose CONTENT derives from
+# latlon_from_phash carries this tag in its filename, so a spec change can
+# never silently reuse a stale cached golden (in this repo OR in an external
+# driver's fixture cache). x2 = the Spark-xxhash64 spec (functions/geo.py).
+GEO_TAG = "x2"
+
+
 def blocks_path(n: int) -> str:
-    return os.path.join(DATA_DIR, f"blocks_{n}.parquet")
+    return os.path.join(DATA_DIR, f"blocks_{n}_{GEO_TAG}.parquet")
 
 
 def ensure_blocks(n: int) -> str:
@@ -130,7 +137,7 @@ def ensure_blocks(n: int) -> str:
 # ---------------------------------------------------------------- goldens
 
 def golden_geo_path(n: int) -> str:
-    return os.path.join(DATA_DIR, f"golden_geo_{n}.parquet")
+    return os.path.join(DATA_DIR, f"golden_geo_{n}_{GEO_TAG}.parquet")
 
 
 def ensure_golden_geo(n: int) -> str:
@@ -155,7 +162,7 @@ def ensure_golden_geo(n: int) -> str:
 
 
 def golden_pip_path(n: int, m: int) -> str:
-    return os.path.join(DATA_DIR, f"golden_pip_{n}_{m}.parquet")
+    return os.path.join(DATA_DIR, f"golden_pip_{n}_{m}_{GEO_TAG}.parquet")
 
 
 def ensure_golden_pip(n: int, m: int) -> str:
@@ -181,7 +188,7 @@ def ensure_golden_pip(n: int, m: int) -> str:
 
 
 def golden_knn_path(n: int) -> str:
-    return os.path.join(DATA_DIR, f"golden_knn_{n}.parquet")
+    return os.path.join(DATA_DIR, f"golden_knn_{n}_{GEO_TAG}.parquet")
 
 
 def ensure_golden_knn(n: int) -> str:
@@ -219,7 +226,7 @@ def ensure_golden_knn_global(n: int, rings: tuple[int, ...] = geo.KNN_RINGS) -> 
     """Escalating-ring kNN golden: per query, the first ring in `rings` with
     ≥ k candidates wins (last ring: emit whatever exists) — pure-numpy twin of
     operators/knn.knn_join_global."""
-    p = os.path.join(DATA_DIR, f"golden_knn_global_{n}.parquet")
+    p = os.path.join(DATA_DIR, f"golden_knn_global_{n}_{GEO_TAG}.parquet")
     if not os.path.exists(p):
         gg = pd.read_parquet(ensure_golden_geo(n))
         lat = gg["lat"].to_numpy()

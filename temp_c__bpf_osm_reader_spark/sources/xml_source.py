@@ -68,7 +68,7 @@ def write_osm_xml(images: pd.DataFrame, out_dir: str, per_file: int = BLOCK_SZ) 
 
 
 def ensure_xml(n: int) -> str:
-    out_dir = os.path.join(fixtures.DATA_DIR, f"xml_{n}")
+    out_dir = os.path.join(fixtures.DATA_DIR, f"xml_{n}_{fixtures.GEO_TAG}")
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         images = pd.read_parquet(fixtures.ensure_images(n))

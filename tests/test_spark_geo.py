@@ -138,3 +138,57 @@ def test_magic_partition_keys_route_exactly(spark):
         df = spark.createDataFrame([(m,) for m in magic], "m bigint")
         got = [r[0] for r in df.select(F.pmod(F.hash("m"), F.lit(n))).collect()]
         assert got == list(range(n)), (n, magic, got)
+
+
+def test_xxh64_twin_matches_spark(spark):
+    """functions/hashing.xxh64_long / xxh64_str_array are bit-exact twins of
+    Spark's xxhash64 (long path, string path incl. unicode and >=32-byte
+    strings, and the chained hashLong form) — the contract that lets the
+    geolocate spec live as JVM column expressions."""
+    import random
+    import string as _string
+
+    import numpy as np
+
+    from temp_c__bpf_osm_reader_spark.functions import hashing as H
+
+    rng = random.Random(7)
+    strs = ["", "a", "img_0000123#45", "x" * 31, "y" * 32, "z" * 100,
+            "héllo wörld ✓"] + [
+        "".join(rng.choices(_string.printable, k=rng.randrange(0, 64)))
+        for _ in range(64)
+    ]
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), 42] + [
+        rng.randrange(-(2**63), 2**63) for _ in range(64)
+    ]
+    df_s = spark.createDataFrame([(s,) for s in strs], "s string")
+    df_l = spark.createDataFrame([(v,) for v in longs], "l bigint")
+    got_s = [r[0] for r in df_s.select(F.xxhash64("s")).collect()]
+    got_l = [r[0] for r in df_l.select(F.xxhash64("l")).collect()]
+    got_c = [r[0] for r in df_s.select(F.xxhash64(F.xxhash64("s"))).collect()]
+    tw_s = H.xxh64_str_array(strs).view(np.int64)
+    tw_l = H.xxh64_long(np.array(longs, dtype=np.int64)).view(np.int64)
+    tw_c = H.xxh64_long(tw_s.view(np.uint64)).view(np.int64)
+    assert got_s == [int(v) for v in tw_s]
+    assert got_l == [int(v) for v in tw_l]
+    assert got_c == [int(v) for v in tw_c]
+
+
+def test_geolocate_expr_bitidentical_to_kernel(spark, fx):
+    """geolocate_expr (JVM expressions) and geolocate (Arrow kernel) must
+    produce IDENTICAL doubles — the flagship runs the expression form, the
+    registered operator surface runs the kernel."""
+    import numpy as np
+
+    imgs = spark.read.parquet(fx["images"]).select("image_id", "phash")
+    a = indexing.geolocate(imgs).toPandas().sort_values("image_id", ignore_index=True)
+    b = indexing.geolocate_expr(imgs).toPandas().sort_values(
+        "image_id", ignore_index=True
+    )
+    assert list(a.columns) == list(b.columns)
+    assert np.array_equal(
+        a["lat"].to_numpy().view(np.int64), b["lat"].to_numpy().view(np.int64)
+    )
+    assert np.array_equal(
+        a["lon"].to_numpy().view(np.int64), b["lon"].to_numpy().view(np.int64)
+    )
