@@ -315,13 +315,15 @@ def main() -> None:
         # ~85k at 8), which understates the ratio; 2v8 compares two
         # multi-core configurations, as a cluster would. replicate=480:
         # stages long enough that the host's bursty multi-second steal
-        # windows average out within a run (was 240; the round-3 JVM-side
-        # order assignment + plan-shape warmup made the pipeline ~2.3x
-        # faster, so the data is doubled to keep stage lengths comparable).
-        # reps=5: more interleaved pairs tighten the median against the
-        # host's multi-minute contention windows.
+        # windows average out within a run (was 240; the geolocate-spec-v2
+        # all-JVM tile path made the pipeline ~2.2x faster, so the data is
+        # doubled to keep stage lengths comparable). Post-v2 the raw pair
+        # efficiency measures 0.92-1.02 (the crossing-free pipeline + the
+        # scattered-sample bounds + slot-map routing removed the three
+        # non-scaling components the r3 decomposition found), so median-of-3
+        # interleaved pairs is ample margin against a contended pair.
         replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "480"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
         n_small, n_big = 2, 8
         pr = _scaling_pairs(zpath, sf_dir, n_small, n_big, replicate, reps)
         thr_small = pr["small"]["points"] / pr["small"]["pipeline_s"]
