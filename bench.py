@@ -322,8 +322,13 @@ def main() -> None:
         # scattered-sample bounds + slot-map routing removed the three
         # non-scaling components the r3 decomposition found), so median-of-3
         # interleaved pairs is ample margin against a contended pair.
+        # reps=5: the host's contention windows span multiple pairs (a
+        # measured block had ceilings 0.66-0.68 for ~10 min while quiet
+        # windows read 0.92-0.96) — a 5-pair median tolerates two poisoned
+        # pairs; the best pair and its ceiling are reported alongside since
+        # contention is strictly additive noise.
         replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "480"))
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
         n_small, n_big = 2, 8
         pr = _scaling_pairs(zpath, sf_dir, n_small, n_big, replicate, reps)
         thr_small = pr["small"]["points"] / pr["small"]["pipeline_s"]
@@ -343,6 +348,11 @@ def main() -> None:
             "pair_efficiencies": pr["pair_efficiencies"],
             "pair_ceilings": pr["pair_ceilings"],
             "efficiency": round(pr["efficiency"], 3),
+            # the least-contended pair: host contention only ever SLOWS a
+            # run, so the best pair is the closest observation of the
+            # engine's true ratio (solo quiet-window runs measure 0.92-1.02,
+            # BASELINE.md round 3)
+            "efficiency_best_pair": round(max(pr["pair_efficiencies"]), 3),
             "hw_streaming_ceiling_efficiency": round(pr["ceiling"], 3),
             "efficiency_vs_hw_ceiling": round(pr["normalized"], 3),
             "tile_checksum_match": pr["small"]["tile_checksum"]

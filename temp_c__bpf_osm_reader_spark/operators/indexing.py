@@ -276,7 +276,11 @@ def tile_assignment_scalable(
         F.col("lat"), F.col("lon"), res
     )
     sel = points.select(cell.alias("cell_id"), "image_id", *keep_cols)
-    if router is None and bounds is not None and res <= 8:
+    # auto-build a slot-map router only when the partition count makes the
+    # chained-when searchsorted expensive: the router's driver build +
+    # broadcast costs ~0.4 s, which a 16-partition query pays for nothing
+    # (15 compares/row is cheap); the flagship passes a prebuilt router
+    if router is None and bounds is not None and res <= 8 and partitions > 24:
         router = CellRouter(spark, bounds, partitions, res=res)
     if router is not None:
         rp = router.route(sel).sortWithinPartitions("cell_id", "image_id").cache()
@@ -327,25 +331,23 @@ def tile_assignment_scalable(
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("_mid").alias("min_mid"))
         .collect()
     )
-    by_cell: dict[int, list[tuple[int, int, int]]] = {}
-    for r in stats:
-        by_cell.setdefault(r["cell_id"], []).append((r["pid"], r["cnt"], r["min_mid"]))
-    sub_rows = []
-    for cid, lst in by_cell.items():
-        lst.sort()
-        acc = 0
-        for pid, c, mn in lst:
-            # order_ = (_mid - mn) + acc + 1  ==  _mid - (mn - acc - 1)
-            sub_rows.append((pid, cid, mn - acc - 1))
-            acc += c
-    import pandas as pd  # Arrow path: py4j row-by-row ser of ~#cells rows is
-    import numpy as np   # a measurable driver fixed cost (~1s at 33k cells)
+    # cross-partition prefix offsets, vectorized (this is driver work inside
+    # the timed region of the flagship — a python loop over ~#cells rows plus
+    # py4j row serialization costs ~1 s; pandas + Arrow createDataFrame is
+    # tens of ms). order_ = (_mid - mn) + acc + 1 == _mid - (mn - acc - 1)
+    # where acc = rows of the same cell in lower-pid partitions.
+    import numpy as np
+    import pandas as pd
 
+    spdf = pd.DataFrame.from_records(
+        iter(stats), columns=["pid", "cell_id", "cnt", "min_mid"]
+    ).sort_values(["cell_id", "pid"], kind="stable", ignore_index=True)
+    acc = spdf.groupby("cell_id", sort=False)["cnt"].cumsum() - spdf["cnt"]
     sub_pdf = pd.DataFrame(
         {
-            "pid": np.fromiter((r[0] for r in sub_rows), dtype=np.int32, count=len(sub_rows)),
-            "cell_id": np.fromiter((r[1] for r in sub_rows), dtype=np.int64, count=len(sub_rows)),
-            "_sub": np.fromiter((r[2] for r in sub_rows), dtype=np.int64, count=len(sub_rows)),
+            "pid": spdf["pid"].astype(np.int32),
+            "cell_id": spdf["cell_id"].astype(np.int64),
+            "_sub": (spdf["min_mid"] - acc - 1).astype(np.int64),
         }
     )
     sub_df = spark.createDataFrame(sub_pdf, schema="pid int, cell_id long, _sub long")

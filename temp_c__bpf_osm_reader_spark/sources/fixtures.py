@@ -79,7 +79,15 @@ def ensure_images(n: int) -> str:
     p = images_path(n)
     if not os.path.exists(p):
         df = generate_images(n, seed=SEED)
-        pq.write_table(pa.Table.from_pandas(df, schema=_IMAGES_SCHEMA, preserve_index=False), p)
+        # 8k-row row groups: a single-row-group file is UNSPLITTABLE — Spark
+        # hands 31 of 32 "splits" zero rows and one task scans everything
+        # (measured: the whole knn map side serialized on one task). Content
+        # is unchanged; only the physical layout (and thus scan parallelism).
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=_IMAGES_SCHEMA, preserve_index=False),
+            p,
+            row_group_size=8192,
+        )
     return p
 
 

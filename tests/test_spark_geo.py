@@ -128,6 +128,17 @@ def test_tile_assignment_bounds_routing_equals_window_variant(spark, fx):
             .sort_values(["cell_id", "order_"], ignore_index=True)
         )
         pd.testing.assert_frame_equal(a, b)
+        # same bounds through the slot-map router (the flagship path —
+        # auto-build only kicks in above 24 partitions, so drive it directly)
+        router = indexing.CellRouter(spark, bounds, n_parts, res=7)
+        c = (
+            indexing.tile_assignment_scalable(
+                pts, 7, partitions=n_parts, router=router
+            )
+            .toPandas()
+            .sort_values(["cell_id", "order_"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, c)
 
 
 def test_magic_partition_keys_route_exactly(spark):
