@@ -343,8 +343,9 @@ def main() -> None:
         result["scaling"] = {
             "protocol": (
                 f"taskset-pinned {n_small} vs {n_big} CPUs, {reps} interleaved "
-                "pairs, each with a contemporaneous hw-ceiling sample; "
-                "medians across pairs"
+                "pairs (run order alternates per pair), each with a "
+                "contemporaneous hw-ceiling sample; medians across pairs, "
+                "plus best-pair and min-runs estimators"
             ),
             "replicate": replicate,
             "points": pr["big"]["points"],
