@@ -326,22 +326,21 @@ def tile_assignment_scalable(
     # contiguous). Partitions beyond 2^33 rows would overflow the row-index
     # field (8.6e9 rows per partition — far past any sane task size).
     with_mid = rp.withColumn("_mid", F.monotonically_increasing_id())
-    stats = (
-        with_mid.groupBy(F.spark_partition_id().alias("pid"), "cell_id")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_mid").alias("min_mid"))
-        .collect()
-    )
-    # cross-partition prefix offsets, vectorized (this is driver work inside
-    # the timed region of the flagship — a python loop over ~#cells rows plus
-    # py4j row serialization costs ~1 s; pandas + Arrow createDataFrame is
-    # tens of ms). order_ = (_mid - mn) + acc + 1 == _mid - (mn - acc - 1)
+    # cross-partition prefix offsets, vectorized; the fetch is Arrow
+    # (toPandas), not py4j rows — ~#cells × #touched-partitions rows (bounded
+    # because ranges are contiguous), and row-based collect of ~32k Rows
+    # costs ~0.5-1 s of pure driver deserialization that Arrow doesn't.
+    # order_ = (_mid - mn) + acc + 1 == _mid - (mn - acc - 1)
     # where acc = rows of the same cell in lower-pid partitions.
     import numpy as np
     import pandas as pd
 
-    spdf = pd.DataFrame.from_records(
-        iter(stats), columns=["pid", "cell_id", "cnt", "min_mid"]
-    ).sort_values(["cell_id", "pid"], kind="stable", ignore_index=True)
+    spdf = (
+        with_mid.groupBy(F.spark_partition_id().alias("pid"), "cell_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_mid").alias("min_mid"))
+        .toPandas()
+        .sort_values(["cell_id", "pid"], kind="stable", ignore_index=True)
+    )
     acc = spdf.groupby("cell_id", sort=False)["cnt"].cumsum() - spdf["cnt"]
     sub_pdf = pd.DataFrame(
         {

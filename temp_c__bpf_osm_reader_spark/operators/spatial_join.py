@@ -5,9 +5,15 @@ bbox polyfill, functions/geo.py:polyfill_bbox); the (cell_id, polygon_id)
 cover table is tiny (|polygons| × covered cells) → broadcast hash join against
 the points on cell_id. No shuffle of the big side.
 
-Phase 2 — exact refine: vectorized even-odd ray casting over the surviving
-candidates in an Arrow-batched pandas UDF, polygon rings shipped once per
-executor via a Spark broadcast variable (not re-pickled per task).
+Phase 2 — exact refine: even-odd ray casting over the surviving candidates.
+Two interchangeable engines (bit-identical by construction, pinned by tests):
+  * "jvm" (default) — the ring's edge table (≤12 edges per fixture polygon)
+    rides a second broadcast join and the crossing count is a higher-order
+    `filter(edges, ...)` of pure double arithmetic: zero Python crossing, the
+    whole refine stays in the JVM with the prefilter join.
+  * "pandas" — vectorized numpy ray cast in an Arrow-batched pandas UDF,
+    rings shipped once per executor via a Spark broadcast variable. Retained
+    as the independent oracle twin of the JVM expression.
 
 At 100 TB scale: the points side stays partition-pruned and never shuffles;
 candidate inflation is bounded by cover-cell area / polygon area; skewed cells
@@ -45,18 +51,80 @@ def polygon_cover(spark: SparkSession, polygons: pd.DataFrame, res: int = PIP_RE
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def _polygon_edges(spark: SparkSession, polygons: pd.DataFrame) -> DataFrame:
+    """polygon_id → array<struct<yi,yj,xi,dx,dy>> — one tiny row per polygon.
+
+    dx = xj-xi and dy = yj-yi are precomputed HERE in numpy float64, so every
+    subtraction is bit-identical to the numpy twin (geo.point_in_polygon);
+    the executor-side refine is then only *, /, +, < — IEEE-754 operations
+    that the JVM and numpy round identically."""
+    rows = []
+    for _, r in polygons.iterrows():
+        ry = np.asarray(r["ring_lat"], dtype=np.float64)
+        rx = np.asarray(r["ring_lon"], dtype=np.float64)
+        if ry[0] == ry[-1] and rx[0] == rx[-1]:  # drop the closing vertex
+            ry, rx = ry[:-1], rx[:-1]
+        yj, xj = np.roll(ry, -1), np.roll(rx, -1)
+        edges = [
+            (float(ry[i]), float(yj[i]), float(rx[i]),
+             float(xj[i] - rx[i]), float(yj[i] - ry[i]))
+            for i in range(ry.size)
+        ]
+        rows.append((int(r["polygon_id"]), edges))
+    edge_t = T.StructType(
+        [T.StructField(f, T.DoubleType()) for f in ("yi", "yj", "xi", "dx", "dy")]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("polygon_id", T.LongType()),
+            T.StructField("edges", T.ArrayType(edge_t)),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
 def pip_join(
     points: DataFrame,
     polygons: pd.DataFrame,
     res: int = PIP_RES,
     spark: SparkSession | None = None,
+    refine: str = "jvm",
 ) -> DataFrame:
     """points(image_id, lat, lon, ...) ⋈ polygons → (image_id, polygon_id).
 
     Emits every containing polygon per point (a point may fall in >1 polygon).
+    `refine`: "jvm" (pure-expression ray cast, no Python crossing) or
+    "pandas" (numpy kernel twin) — bit-identical outputs, pinned by tests.
     """
     spark = spark or points.sparkSession
     cover = polygon_cover(spark, polygons, res)
+
+    cell = grid_cell_col(F.col("lat"), F.col("lon"), res)
+    candidates = points.select("image_id", "lat", "lon", cell.alias("cell_id")).join(
+        F.broadcast(cover), "cell_id"
+    )
+
+    if refine == "jvm":
+        edges = _polygon_edges(spark, polygons)
+        y, x = F.col("lat"), F.col("lon")
+
+        def _crossing(e):
+            # frozen half-open rule (geo.point_in_polygon): edge counted iff
+            # (yi > y) != (yj > y) and x strictly left of the crossing. When
+            # the rule holds dy != 0; when it doesn't, the double division
+            # yields ±inf/NaN (IEEE, never an error — ANSI div-by-zero only
+            # applies to integral/decimal) and the conjunction is already
+            # false, mirroring numpy's masked errstate lanes.
+            cond = (e["yi"] > y) != (e["yj"] > y)
+            x_cross = e["dx"] * (y - e["yi"]) / e["dy"] + e["xi"]
+            return cond & (x < x_cross)
+
+        inside = F.size(F.filter(F.col("edges"), _crossing)) % 2 == 1
+        return (
+            candidates.join(F.broadcast(edges), "polygon_id")
+            .filter(inside)
+            .select("image_id", "polygon_id")
+        )
 
     rings = {
         int(r["polygon_id"]): (
@@ -66,11 +134,6 @@ def pip_join(
         for _, r in polygons.iterrows()
     }
     bc_rings = spark.sparkContext.broadcast(rings)
-
-    cell = grid_cell_col(F.col("lat"), F.col("lon"), res)
-    candidates = points.select("image_id", "lat", "lon", cell.alias("cell_id")).join(
-        F.broadcast(cover), "cell_id"
-    )
 
     @F.pandas_udf(T.BooleanType())
     def contains(lat: pd.Series, lon: pd.Series, pid: pd.Series) -> pd.Series:

@@ -414,20 +414,29 @@ def ensure_meta_corrupt(n: int) -> str:
 
 
 def golden_recall_srp_path(
-    sf_dir: str, k: int = 10, query_mod: int = 20, seed: int = 1234
+    sf_dir: str,
+    k: int = 10,
+    query_mod: int = 20,
+    seed: int = 1234,
+    probe_hamming: int = 2,
 ) -> str:
     """Cache filename keyed by EVERY parameter that changes the golden's
-    content (k, query_mod, seed) — a default change can't silently reuse a
-    stale replay. (The bits scaling law is keyed implicitly: it is a pure
-    function of n, which sf_dir pins.)"""
+    content (k, query_mod, seed, probe radius) — a default change can't
+    silently reuse a stale replay. (The bits scaling law is keyed implicitly:
+    it is a pure function of n, which sf_dir pins.)"""
     base = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(
-        fixtures.DATA_DIR, f"golden_recall_srp_{base}_k{k}_m{query_mod}_s{seed}.parquet"
+        fixtures.DATA_DIR,
+        f"golden_recall_srp_{base}_k{k}_m{query_mod}_s{seed}_h{probe_hamming}.parquet",
     )
 
 
 def ensure_golden_recall_srp(
-    sf_dir: str, k: int = 10, query_mod: int = 20, seed: int = 1234
+    sf_dir: str,
+    k: int = 10,
+    query_mod: int = 20,
+    seed: int = 1234,
+    probe_hamming: int = 2,
 ) -> str:
     """(query_id, recall) — independent replay of BOTH sides of the ANN
     recall evaluation: exact cosine top-k (operators/similarity.
@@ -438,7 +447,9 @@ def ensure_golden_recall_srp(
     Dot products are LEFT FOLDS in array order (one accumulation per
     dimension) — the exact arithmetic of Spark's aggregate(zip_with(...)),
     not a BLAS matmul."""
-    p = golden_recall_srp_path(sf_dir, k=k, query_mod=query_mod, seed=seed)
+    p = golden_recall_srp_path(
+        sf_dir, k=k, query_mod=query_mod, seed=seed, probe_hamming=probe_hamming
+    )
     if not os.path.exists(p):
         import numpy as np
 
@@ -484,10 +495,17 @@ def ensure_golden_recall_srp(
             )
             rank = np.lexsort((ids[others], -sims))
             exact = set(ids[others[rank[:k]]])
-            # multi-probe: own bucket + every Hamming-1 bucket
-            probes = {int(bucket[qi])} | {
-                int(bucket[qi]) ^ (1 << i) for i in range(bits)
-            }
+            # multi-probe: own bucket + every Hamming-1/-2 bucket (mirrors
+            # similarity.ann_topk_srp's probe generation)
+            probes = {int(bucket[qi])}
+            if probe_hamming >= 1:
+                probes |= {int(bucket[qi]) ^ (1 << i) for i in range(bits)}
+            if probe_hamming >= 2:
+                probes |= {
+                    int(bucket[qi]) ^ ((1 << i) | (1 << j))
+                    for i in range(bits)
+                    for j in range(i + 1, bits)
+                }
             in_b = others[np.isin(bucket[others], list(probes))]
             if len(in_b):
                 qvb = np.broadcast_to(m[qi], (len(in_b), dim))

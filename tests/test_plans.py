@@ -140,8 +140,10 @@ def test_ann_recall_srp_threshold(spark):
 
     pdf = similarity.ann_recall_srp(spark, "/root/testdata/sf0.01").toPandas()
     assert len(pdf) == 25
-    assert pdf["recall"].mean() >= 0.35, pdf["recall"].mean()
-    assert (pdf["recall"] > 0).all()
+    # Hamming≤2 multi-probe: measured 0.844 mean / 0.6 min on the seeded
+    # fixture (deterministic) — pinned well above the Hamming-1 era's 0.51.
+    assert pdf["recall"].mean() >= 0.75, pdf["recall"].mean()
+    assert (pdf["recall"] >= 0.5).all()
 
 
 def test_osmxml_datasource_matches_mapinpandas(spark):

@@ -96,6 +96,27 @@ def test_pip_join_plan_is_broadcast(spark, fx, polygons_pdf):
     pts = load_points(spark, fx)
     plan = spatial_join.pip_join(pts, polygons_pdf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # big side never shuffles
+    # default (jvm) refine: the exact ray cast is pure expressions — no
+    # Python crossing anywhere in the spatial join
+    assert "EvalPython" not in plan
+
+
+def test_pip_join_jvm_refine_equals_pandas_twin(spark, fx, polygons_pdf):
+    """The JVM expression ray cast and the numpy kernel are the same frozen
+    arithmetic (dx/dy precomputed driver-side in numpy; *, /, +, < are
+    IEEE-identical in both engines) — outputs must match row-for-row."""
+    pts = load_points(spark, fx)
+    a = (
+        spatial_join.pip_join(pts, polygons_pdf, refine="jvm")
+        .toPandas()
+        .sort_values(["image_id", "polygon_id"], ignore_index=True)
+    )
+    b = (
+        spatial_join.pip_join(pts, polygons_pdf, refine="pandas")
+        .toPandas()
+        .sort_values(["image_id", "polygon_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_tile_assignment_bounds_routing_equals_window_variant(spark, fx):
