@@ -90,6 +90,25 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = NEAR_DUP_TAU) 
     )
 
 
+def centroid_sims(m: np.ndarray, cmat: np.ndarray) -> np.ndarray:
+    """(n, ncent) cosine similarities via a dimension-ordered accumulation
+    loop — elementwise numpy only, NO BLAS matmul. Each row's result depends
+    only on that row, never on batch shape, so the Arrow-batched UDFs (whose
+    batch boundaries follow file partitioning) and the whole-table golden
+    replay (fixtures_text.ensure_golden_recall_ivf) produce bit-identical
+    similarities, assignments, and probe lists. This is the IVF analogue of
+    the left-fold dot-product convention used everywhere a Spark
+    `aggregate(zip_with(...))` has a numpy twin."""
+    acc = np.zeros((m.shape[0], cmat.shape[0]), dtype=np.float64)
+    nm = np.zeros(m.shape[0], dtype=np.float64)
+    nc = np.zeros(cmat.shape[0], dtype=np.float64)
+    for d in range(m.shape[1]):
+        acc += np.multiply.outer(m[:, d], cmat[:, d])
+        nm = nm + m[:, d] * m[:, d]
+        nc = nc + cmat[:, d] * cmat[:, d]
+    return acc / np.multiply.outer(np.sqrt(nm), np.sqrt(nc))
+
+
 def ann_topk_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -112,28 +131,25 @@ def ann_topk_ivf(
     base = _with_norm(_emb(spark, sf_dir))
     crows = (
         base.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1)
-        .select("vec_id", "v", "norm")
+        .select("vec_id", "v")
         .orderBy("vec_id")  # pinned centroid order → ties break identically
         .collect()
     )
     cids = np.array([r["vec_id"] for r in crows], dtype=np.int64)
     cmat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in crows])
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((cids, cmat))
 
     @F.pandas_udf(T.LongType())
     def assign_udf(v: pd.Series) -> pd.Series:
-        ids, mat = bc.value
-        m = np.stack(v.to_numpy())
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series(ids[np.argmax(m @ mat.T, axis=1)])
+        ids, cm = bc.value
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(ids[np.argmax(centroid_sims(m, cm), axis=1)])
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def probe_udf(v: pd.Series) -> pd.Series:
-        ids, mat = bc.value
-        m = np.stack(v.to_numpy())
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        top = np.argsort(-(m @ mat.T), axis=1, kind="stable")[:, :nprobe]
+        ids, cm = bc.value
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        top = np.argsort(-centroid_sims(m, cm), axis=1, kind="stable")[:, :nprobe]
         return pd.Series([ids[row].tolist() for row in top])
 
     lists = base.withColumn("centroid_id", assign_udf(F.col("v")))
@@ -431,6 +447,30 @@ def ann_recall_srp(
     approx = ann_topk_srp(
         spark, sf_dir, k=k, query_mod=query_mod, probe_hamming=probe_hamming
     )
+    return _recall_vs_exact(exact, approx, k)
+
+
+def ann_recall_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_K,
+    query_mod: int = 20,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Quantitative recall@k of the IVF-flat ANN against the exact
+    brute-force baseline → (query_id, recall) — the IVF twin of
+    ann_recall_srp, so BOTH approximate paths carry a measured number. The
+    golden twin (fixtures_text.ensure_golden_recall_ivf) replays centroid
+    selection, the fold-arithmetic assignment/probe (centroid_sims), and both
+    top-k sides in plain numpy."""
+    exact = ann_topk_bruteforce(spark, sf_dir, k=k, query_mod=query_mod)
+    approx = ann_topk_ivf(spark, sf_dir, k=k, query_mod=query_mod, nprobe=nprobe)
+    return _recall_vs_exact(exact, approx, k)
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """recall@k per query: |approx ∩ exact| / k — broadcast-size semi join +
+    per-query count (both sides are ≤ |queries| × k rows)."""
     hits = (
         exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")

@@ -520,3 +520,99 @@ def ensure_golden_recall_srp(
         out = pd.DataFrame(rows, columns=["query_id", "recall"])
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
     return p
+
+
+def golden_recall_ivf_path(
+    sf_dir: str,
+    k: int = 10,
+    query_mod: int = 20,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+) -> str:
+    """Cache filename keyed by every content-changing parameter (same
+    discipline as golden_recall_srp_path)."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        fixtures.DATA_DIR,
+        f"golden_recall_ivf_{base}_k{k}_m{query_mod}_c{centroid_mod}_p{nprobe}.parquet",
+    )
+
+
+def ensure_golden_recall_ivf(
+    sf_dir: str,
+    k: int = 10,
+    query_mod: int = 20,
+    centroid_mod: int = 50,
+    nprobe: int = 3,
+) -> str:
+    """(query_id, recall) — independent replay of BOTH sides of the IVF
+    recall evaluation (operators/similarity.ann_recall_ivf): exact cosine
+    top-k (fold dots, round 6, (−sim, id) lexsort) and IVF top-k (centroids =
+    vec_id % centroid_mod == 1 in id order; assignment = argmax of
+    fold-accumulated cosine to centroids; probes = top-nprobe stable argsort
+    — the frozen arithmetic of similarity.centroid_sims, which is
+    batch-shape-independent by construction so this whole-table replay and
+    Spark's Arrow-batched UDFs agree bit-for-bit).
+
+    Dot products are LEFT FOLDS in array order, like every numpy twin of a
+    Spark aggregate(zip_with(...))."""
+    p = golden_recall_ivf_path(
+        sf_dir, k=k, query_mod=query_mod, centroid_mod=centroid_mod, nprobe=nprobe
+    )
+    if not os.path.exists(p):
+        import numpy as np
+
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = emb["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(emb["embedding"].to_numpy())[order].astype(np.float64)
+        n, dim = m.shape
+
+        def fold_dot(a, b):
+            acc = np.zeros(a.shape[0], dtype=np.float64)
+            for d in range(a.shape[1]):
+                acc = acc + a[:, d] * b[:, d]
+            return acc
+
+        norms = np.sqrt(fold_dot(m, m))
+        cmask = ids % centroid_mod == 1
+        cids = ids[cmask]  # already ascending (ids sorted above)
+        cmat = m[cmask]
+        # similarity.centroid_sims replayed: dimension-ordered outer-product
+        # accumulation, then divide by the fold-norm outer product
+        acc = np.zeros((n, cmat.shape[0]), dtype=np.float64)
+        nm = np.zeros(n, dtype=np.float64)
+        nc = np.zeros(cmat.shape[0], dtype=np.float64)
+        for d in range(dim):
+            acc += np.multiply.outer(m[:, d], cmat[:, d])
+            nm = nm + m[:, d] * m[:, d]
+            nc = nc + cmat[:, d] * cmat[:, d]
+        csims = acc / np.multiply.outer(np.sqrt(nm), np.sqrt(nc))
+        assign = cids[np.argmax(csims, axis=1)]
+        probe_rank = np.argsort(-csims, axis=1, kind="stable")[:, :nprobe]
+        qmask = ids % query_mod == 0
+        rows = []
+        for qi in np.flatnonzero(qmask):
+            others = np.flatnonzero(ids != ids[qi])
+            qv = np.broadcast_to(m[qi], (len(others), dim))
+            sims = np.round(
+                fold_dot(qv, m[others]) / (norms[qi] * norms[others]), 6
+            )
+            rank = np.lexsort((ids[others], -sims))
+            exact = set(ids[others[rank[:k]]])
+            probes = set(cids[probe_rank[qi]].tolist())
+            in_b = others[np.isin(assign[others], list(probes))]
+            if len(in_b):
+                qvb = np.broadcast_to(m[qi], (len(in_b), dim))
+                sims_b = np.round(
+                    fold_dot(qvb, m[in_b]) / (norms[qi] * norms[in_b]), 6
+                )
+                rank_b = np.lexsort((ids[in_b], -sims_b))
+                approx = set(ids[in_b[rank_b[:k]]])
+            else:
+                approx = set()
+            rows.append((int(ids[qi]), len(exact & approx) / float(k)))
+        out = pd.DataFrame(rows, columns=["query_id", "recall"])
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p

@@ -146,6 +146,18 @@ def test_ann_recall_srp_threshold(spark):
     assert (pdf["recall"] >= 0.5).all()
 
 
+def test_ann_recall_ivf_threshold(spark):
+    """The IVF path's measured recall@10: nprobe=3 of ~n/50 centroid lists
+    (≈3% of the table probed) reads 0.412 mean on the seeded uniform fixture
+    — pinned so assignment/probe arithmetic drift is caught."""
+    from temp_c__bpf_osm_reader_spark.operators import similarity
+
+    pdf = similarity.ann_recall_ivf(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(pdf) == 25
+    assert pdf["recall"].mean() >= 0.35, pdf["recall"].mean()
+    assert (pdf["recall"] >= 0.15).all()
+
+
 def test_osmxml_datasource_matches_mapinpandas(spark):
     """The Python DataSource V2 connector and the binaryFile+mapInPandas
     parse must produce identical rows (both decode paths of SURVEY §5.2)."""
