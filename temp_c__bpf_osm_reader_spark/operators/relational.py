@@ -498,6 +498,43 @@ def iso3166_countries(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFr
     )
 
 
+def iso3166_node(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFrame:
+    """1:1 transcription of queries/ISO3166-1-node.sql:16-47 (the live,
+    uncommented SELECT) — the node-keyed variant of the countries query: the
+    `k='ISO3166-1'` node slice, minus two pinned "wrong" node ids (the
+    reference's NOT IN (26847709, 4070744431), mapped to two pinned
+    image_ids), left-joined per key for the selected columns. The reference
+    also left-joins six more language-name slices it never selects
+    (name:ru/fr/eo/zh/pl/ar); with one tag per (entity, key) those joins
+    cannot change cardinality, so only the selected columns are assembled —
+    same result set. Key mappings: name→name, wikidata→q (the fixture's
+    Q-code key), name:en→name:en, name:de→int_name (second-language
+    analogue), place→place.
+
+    Plan shape at scale: all five probe sides are (k = const) pushed-down
+    slices sharing image_id as the join key — one co-partitioning, and AQE
+    broadcasts each slice at tag-key density."""
+    eav = spark.read.parquet(eav_path)
+    iso = eav.filter(
+        (F.col("k") == "ISO3166-1")
+        & F.col("image_id").isNotNull()
+        & ~F.col("image_id").isin("img_0000000", "img_0000251")
+    ).select(F.col("image_id").alias("nod_id"), F.col("v").alias("v"))
+    out = iso
+    for alias, key in (
+        ("n", "name"),
+        ("wd", "q"),
+        ("en_n", "name:en"),
+        ("de_n", "int_name"),
+        ("place", "place"),
+    ):
+        t = eav.filter((F.col("k") == key) & F.col("image_id").isNotNull()).select(
+            F.col("image_id").alias(f"_{alias}_id"), F.col("v").alias(alias)
+        )
+        out = out.join(t, out.nod_id == t[f"_{alias}_id"], "left").drop(f"_{alias}_id")
+    return out.select("nod_id", "v", "n", "wd", "en_n", "de_n", "place")
+
+
 def route_wide(spark: SparkSession, sf_dir: str, eav_path: str) -> DataFrame:
     """1:1 transcription of queries/route.sql:1-20 — the reference's
     join-per-key EAV wide-row assembly (the second workhorse pattern after
@@ -624,6 +661,21 @@ def ref_query_pack(
                             self-join on rel_id gated on type=route +
                             route=hiking, count per k; full deterministic
                             set instead of the tie-unstable LIMIT 20)
+      count_addr_city       queries/count-addr-city.sql (top-200 values of
+                            one key by count; key mapped addr:city→place,
+                            the fixture's per-image categorical key; ties
+                            pinned by (cnt desc, v))
+      count_addr_street     queries/count-addr-street.sql (same shape; key
+                            mapped addr:street→name, the free-text key —
+                            distinct from count_source's style so the two
+                            transcriptions exercise different columns)
+      frequency_addr_housenumber  queries/frequency-addr-housenumber.sql
+                            (full per-value counts, no LIMIT — the
+                            reference's ORDER BY count(*) is presentation
+                            order only; key mapped addr:housenumber→q, the
+                            dense identifier-like key)
+      frequency_addr_street queries/frequency-addr-street.sql (full
+                            per-value counts for addr:street→name)
       required_chars_k/_v/_kv  queries/required-chars-per-tag-{k,v,kv}.sql
                             (length-weighted storage estimate per key/value,
                             printf-formatted columns; top-60 by weight, ties
@@ -635,10 +687,11 @@ def ref_query_pack(
     ORDER BY tie-break — row-set-nondeterministic by construction — and are
     deliberately not transcribed (their capability classes, LIKE scans and
     frequency joins, are covered by the branches above).
-    queries/ISO3166-1-node.sql (node-side ISO + per-language name left
-    joins) is the nod_id-keyed variant of ISO3166-1-countries.sql, covered
-    1:1 by iso3166_countries above; pgsize.sql reads SQLite's internal
-    dbstat table — N/A by design.
+    queries/ISO3166-1-node.sql is transcribed 1:1 as iso3166_node above;
+    queries/node.sh and rel.sh are parameterized per-entity tag point
+    lookups (the Q9/Q10 surface — rel_member_tags' pinned-entity slice is
+    the same WHERE id = ? shape); pgsize.sql reads SQLite's internal dbstat
+    table — N/A by design.
     """
     from ..operators import indexing
 
@@ -769,6 +822,24 @@ def ref_query_pack(
             .join(eav, F.col("rid_r") == F.col("collection_id"))
             .groupBy("k").count()
             .select(*pack("type_route_hiking", F.col("k"), NL, F.col("count")))
+        ),
+        (
+            eav.filter(F.col("k") == "place").groupBy("v").count()
+            .orderBy(F.col("count").desc(), F.col("v")).limit(200)
+            .select(*pack("count_addr_city", F.col("v"), NL, F.col("count")))
+        ),
+        (
+            eav.filter(F.col("k") == "name").groupBy("v").count()
+            .orderBy(F.col("count").desc(), F.col("v")).limit(200)
+            .select(*pack("count_addr_street", F.col("v"), NL, F.col("count")))
+        ),
+        (
+            eav.filter(F.col("k") == "q").groupBy("v").count()
+            .select(*pack("frequency_addr_housenumber", F.col("v"), NL, F.col("count")))
+        ),
+        (
+            eav.filter(F.col("k") == "name").groupBy("v").count()
+            .select(*pack("frequency_addr_street", F.col("v"), NL, F.col("count")))
         ),
         (
             eav.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
