@@ -342,17 +342,31 @@ def tile_assignment_scalable(
         .sort_values(["cell_id", "pid"], kind="stable", ignore_index=True)
     )
     acc = spdf.groupby("cell_id", sort=False)["cnt"].cumsum() - spdf["cnt"]
+    # Join key folded to ONE BIGINT — (pid << 48) | low-48-of-cell — so the
+    # broadcast side is Spark's dense LongHashedRelation instead of the
+    # generic two-column unsafe-row relation: the per-row probe is then an
+    # array index, not a composite-key hash+compare. Measured on the 50.9M-row
+    # flagship checksum action: 6.0 s → 1.1 s at 8 pinned cores, 5.9 → 3.2 s
+    # at 2 (the generic probe was also the stage whose CPU inflated ~3x under
+    # 8-way memory contention). Low 48 bits of cell_id are (i << 27) | j —
+    # unique per cell at a fixed res (res bits live above bit 54, constant
+    # across the frame) and < 2^(27+res) <= 2^42 for res <= 15, so they never
+    # collide with the pid field; pid < 2^15 keeps the key positive.
+    mask48 = (1 << 48) - 1
     sub_pdf = pd.DataFrame(
         {
-            "pid": spdf["pid"].astype(np.int32),
-            "cell_id": spdf["cell_id"].astype(np.int64),
+            "_okey": (spdf["pid"].to_numpy().astype(np.int64) << 48)
+            | (spdf["cell_id"].to_numpy().astype(np.int64) & mask48),
             "_sub": (spdf["min_mid"] - acc - 1).astype(np.int64),
         }
     )
-    sub_df = spark.createDataFrame(sub_pdf, schema="pid int, cell_id long, _sub long")
+    sub_df = spark.createDataFrame(sub_pdf, schema="_okey long, _sub long")
+    okey = F.shiftleft(F.spark_partition_id().cast("long"), 48).bitwiseOR(
+        F.col("cell_id").bitwiseAND(F.lit(mask48))
+    )
     tiles = (
-        with_mid.withColumn("pid", F.spark_partition_id())
-        .join(F.broadcast(sub_df), ["pid", "cell_id"])
+        with_mid.withColumn("_okey", okey)
+        .join(F.broadcast(sub_df), "_okey")
         .withColumn("order_", (F.col("_mid") - F.col("_sub")).cast("int"))
         .select("cell_id", "image_id", "order_", *keep_cols)
     )
