@@ -123,6 +123,39 @@ def test_pip_concave():
     assert res.tolist() == [True, True, False, True]  # notch interior excluded
 
 
+def test_cover_classification_exact():
+    """_classify_cover's verdicts hold pointwise: every sampled point of a
+    'full' cell ray-casts inside, and no point of a DROPPED bbox cell
+    ray-casts inside — so the cover pruning can never change pip_join's row
+    set (the Spark-side guard is the independent brute-force golden)."""
+    import pandas as pd
+
+    from temp_c__bpf_osm_reader_spark.operators import spatial_join
+    from temp_c__bpf_osm_reader_spark.sources import fixtures
+
+    polys = pd.read_parquet(fixtures.ensure_polygons(fixtures.n_polygons_for(1060)))
+    cover = spatial_join._classify_cover(polys, spatial_join.PIP_RES)
+    rng = np.random.default_rng(7)
+    checked_full = checked_dropped = 0
+    for _, row in polys.iterrows():
+        ring_lat = np.asarray(row["ring_lat"])
+        ring_lon = np.asarray(row["ring_lon"])
+        mine = cover[cover["polygon_id"] == row["polygon_id"]]
+        kept = dict(zip(mine["cell_id"], mine["_full"]))
+        for c in geo.polyfill_bbox(ring_lat, ring_lon, spatial_join.PIP_RES):
+            lat0, lat1, lon0, lon1 = geo.cell_bounds(int(c))
+            la = rng.uniform(lat0, lat1, 64)
+            lo = rng.uniform(lon0, lon1, 64)
+            inside = geo.point_in_polygon(la, lo, ring_lat, ring_lon)
+            if int(c) not in kept:  # dropped as all-outside
+                assert not inside.any(), (row["polygon_id"], int(c))
+                checked_dropped += 1
+            elif kept[int(c)]:  # classified fully-interior
+                assert inside.all(), (row["polygon_id"], int(c))
+                checked_full += 1
+    assert checked_full > 0 and checked_dropped > 0
+
+
 def test_zigzag_roundtrip():
     # spec domain: |d| < 2^62 (coordinate deltas are ≤ 3.6e9; ids monotone)
     d = np.array([0, 1, -1, 2**61, -(2**61), 12345, -3_600_000_000], dtype=np.int64)
