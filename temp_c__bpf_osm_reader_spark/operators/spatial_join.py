@@ -151,12 +151,25 @@ def pip_join(
     res: int = PIP_RES,
     spark: SparkSession | None = None,
     refine: str = "jvm",
+    rebalance_refine: bool = False,
 ) -> DataFrame:
     """points(image_id, lat, lon, ...) ⋈ polygons → (image_id, polygon_id).
 
     Emits every containing polygon per point (a point may fall in >1 polygon).
     `refine`: "jvm" (pure-expression ray cast, no Python crossing) or
     "pandas" (numpy kernel twin) — bit-identical outputs, pinned by tests.
+
+    rebalance_refine: the candidate set is inherently skewed when `points`
+    arrives cell-range-partitioned (the flagship's tile shuffle) — candidates
+    exist only near polygons, so a few partitions carry most refine work and
+    the stage ends on a straggler (measured at 8 pinned cores: task p50
+    0.27 s, max 2.9 s). On a single host the shuffle that fixes it costs more
+    than the straggler it removes (+1.8 s at 50.9 M points, measured —
+    default off); on a large cluster the trade inverts: a straggler caps the
+    stage at max-task-time × 1 core while the candidate shuffle moves only
+    the small classified-cover subset of the table, so set True when the
+    refine input is range-partitioned and executors ≫ partitions-per-hot-cell.
+    Output row set identical either way.
     """
     spark = spark or points.sparkSession
     cover = polygon_cover(spark, polygons, res)
@@ -165,6 +178,8 @@ def pip_join(
     candidates = points.select("image_id", "lat", "lon", cell.alias("cell_id")).join(
         F.broadcast(cover), "cell_id"
     )
+    if rebalance_refine:
+        candidates = candidates.hint("rebalance")
 
     if refine == "jvm":
         edges = _polygon_edges(spark, polygons)
