@@ -153,8 +153,13 @@ def simhash_pairs(
             F.col("b2.doc_id").alias("doc2"),
             hamming.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc1", "doc2"])
+        # hamming is a pure function of the pair (same value on every band's
+        # copy), so filtering BEFORE the dedup is equivalent — and Catalyst
+        # cannot push a filter through the aggregate itself, so the manual
+        # order drops the random 16-bit band collisions (mostly far pairs)
+        # before they enter the dropDuplicates shuffle
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc1", "doc2"])
     )
 
 
