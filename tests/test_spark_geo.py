@@ -119,6 +119,23 @@ def test_pip_join_jvm_refine_equals_pandas_twin(spark, fx, polygons_pdf):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pip_join_rebalance_refine_same_rows(spark, fx, polygons_pdf):
+    """rebalance_refine=True (the cluster-scale skew option) only changes
+    physical placement of the refine — the row set must be identical."""
+    pts = load_points(spark, fx)
+    a = (
+        spatial_join.pip_join(pts, polygons_pdf)
+        .toPandas()
+        .sort_values(["image_id", "polygon_id"], ignore_index=True)
+    )
+    b = (
+        spatial_join.pip_join(pts, polygons_pdf, rebalance_refine=True)
+        .toPandas()
+        .sort_values(["image_id", "polygon_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_tile_assignment_bounds_routing_equals_window_variant(spark, fx):
     """Direct-routed shuffle (precomputed bounds + magic-key addressing) must
     be byte-identical to the window variant — including deliberately BAD
