@@ -19,9 +19,11 @@ SimHash (documents):
   candidates   = equal 16-bit band (4 bands); emit pairs with hamming ≤ 6
 
 Execution shape at scale: signature UDF is a narrow Arrow-batched map; the
-LSH bucket self-join shuffles only (band_key, doc_id, sig) — never the text —
-and hot buckets are bounded by band width. This is the standard
-shingle→minhash→band→bucket-join pipeline.
+LSH bucket self-join shuffles only two BIGINTs per band copy (folded band-hash
+key, doc_id) — never the text or the signature — and hot buckets are bounded
+by band width; the full signatures join back against the small deduped pair
+set for verification. This is the standard shingle→minhash→band→bucket-join
+pipeline.
 """
 
 from __future__ import annotations
@@ -81,37 +83,47 @@ def minhash_lsh_pairs(
     if docs is None:
         docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs).cache()
+    # Band key folded to ONE BIGINT: xxhash64(band_id, band slice) — the LSH
+    # self-join then shuffles (bkey, doc_id) longs instead of an array<long>
+    # key PLUS the full 64-long sig on both sides (~4x less shuffle bytes),
+    # and the single-long equi-key selects the dense long-key join path.
+    # Band equality ⊆ hash equality, so candidates are a superset only under
+    # a 64-bit xxhash collision between distinct band slices — and every
+    # candidate is still verified on the FULL signatures (sig_match filter
+    # below), which are joined back to the small deduped pair set (2 narrow
+    # joins of pairs against sigs, instead of carrying sig through all 16
+    # band copies).
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {NUM_BANDS - 1}), "
-                f"b -> struct(b as band_id, slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS}) as key))"
+                f"b -> xxhash64(b, slice(sig, b * {BAND_ROWS} + 1, {BAND_ROWS})))"
             )
-        ).alias("band"),
-    ).select("doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.key").alias("key"))
+        ).alias("bkey"),
+    )
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     cand = (
         b1.join(
             b2,
-            (F.col("b1.band_id") == F.col("b2.band_id"))
-            & (F.col("b1.key") == F.col("b2.key"))
+            (F.col("b1.bkey") == F.col("b2.bkey"))
             & (F.col("b1.doc_id") < F.col("b2.doc_id")),
         )
         .select(
             F.col("b1.doc_id").alias("doc1"),
             F.col("b2.doc_id").alias("doc2"),
-            F.col("b1.sig").alias("sig1"),
-            F.col("b2.sig").alias("sig2"),
         )
         .dropDuplicates(["doc1", "doc2"])
     )
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"))
     match = F.expr(
         f"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) / {NUM_PERM}"
     )
     return (
-        cand.withColumn("sig_match", F.round(match, 6))
+        cand.join(s1, "doc1")
+        .join(s2, "doc2")
+        .withColumn("sig_match", F.round(match, 6))
         .filter(F.col("sig_match") >= threshold)
         .select("doc1", "doc2", "sig_match")
     )

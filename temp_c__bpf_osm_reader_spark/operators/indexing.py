@@ -272,6 +272,22 @@ def tile_assignment_scalable(
     spark = points.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism * 2
+    # Preconditions of the folded _okey broadcast key (step 3 below): pid must
+    # fit in 15 bits (sign bit safety) and the low 48 bits of cell_id must be
+    # unique per cell, which holds for res <= 15 ((i<<27)|j < 2^42). Violating
+    # either would silently corrupt order_ (duplicate broadcast keys multiply
+    # join rows), so fail loudly — partitions is caller-controlled.
+    if partitions >= (1 << 15):
+        raise ValueError(
+            f"tile_assignment_scalable: partitions={partitions} >= 2^15 would "
+            "overflow the folded (pid << 48) order-join key; split the job or "
+            "widen the key layout"
+        )
+    if res > 15:
+        raise ValueError(
+            f"tile_assignment_scalable: res={res} > 15 makes low-48 cell bits "
+            "collide in the folded order-join key; use res <= 15"
+        )
     cell = F.col(f"cell_r{res}") if f"cell_r{res}" in points.columns else grid_cell_col(
         F.col("lat"), F.col("lon"), res
     )

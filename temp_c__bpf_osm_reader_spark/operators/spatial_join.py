@@ -71,11 +71,16 @@ def _classify_cover(polygons: pd.DataFrame, res: int) -> pd.DataFrame:
         lon0 = cj / nx * 360.0 - 180.0
         lon1 = lon0 + 360.0 / nx
         # (cells, edges) bbox-overlap matrix → any edge near each cell?
+        # CLOSED comparisons (<=/>=): an edge lying exactly ON a res-grid line
+        # (axis-aligned input polygons) must conservatively flag the touching
+        # cells as boundary — strict inequalities would let such a cell be
+        # classified by its corners alone, which is verdict-ambiguous when the
+        # boundary coincides with the cell edge (half-open ray-cast corners).
         near = (
-            (e_lat0[None, :] < lat1[:, None])
-            & (e_lat1[None, :] > lat0[:, None])
-            & (e_lon0[None, :] < lon1[:, None])
-            & (e_lon1[None, :] > lon0[:, None])
+            (e_lat0[None, :] <= lat1[:, None])
+            & (e_lat1[None, :] >= lat0[:, None])
+            & (e_lon0[None, :] <= lon1[:, None])
+            & (e_lon1[None, :] >= lon0[:, None])
         ).any(axis=1)
         corners_in = np.stack(
             [

@@ -83,6 +83,12 @@ def ensure_images(n: int) -> str:
         # hands 31 of 32 "splits" zero rows and one task scans everything
         # (measured: the whole knn map side serialized on one task). Content
         # is unchanged; only the physical layout (and thus scan parallelism).
+        # NOTE: the filename is content-keyed (images_{n}), not layout-keyed —
+        # a fixture cache written before this row-group change keeps the old
+        # single-row-group layout (correct values, serial scans) until the
+        # cached file is deleted. Geo-derived fixtures avoid this by carrying
+        # a spec tag in the name (GEO_TAG); plain tables accept the weaker
+        # contract because layout never affects correctness.
         pq.write_table(
             pa.Table.from_pandas(df, schema=_IMAGES_SCHEMA, preserve_index=False),
             p,

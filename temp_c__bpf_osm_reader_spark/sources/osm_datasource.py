@@ -184,7 +184,15 @@ def register(spark) -> None:
     the session default, so a caller with a default-conf session (the round-2
     driver environment) would break at plan time. The conf is a runtime-
     settable SQLConf, so the source's entry point owns it: registering the
-    source is consenting to its pushdown."""
+    source is consenting to its pushdown.
+
+    SIDE EFFECT (session-wide, deliberate): the conf applies to EVERY Python
+    data source in the calling session, not just this one — any other source
+    that overrides pushFilters will also start receiving pushed filters after
+    register() runs. There is no per-source scope for this conf in Spark 4;
+    callers who need the old behavior for another source can reset the conf
+    after registering (reads through THIS source will then fail loudly at
+    plan time rather than silently skipping pushdown)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OsmXmlDataSource)
 
