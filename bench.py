@@ -172,6 +172,32 @@ def _hw_ceiling_sample(n_small: int, n_big: int) -> float:
     return min(thr[n_big] / ((n_big / n_small) * thr[n_small]), 1.0)
 
 
+def _quiet_gate(n_small: int, n_big: int, thresh: float, max_deferrals: int) -> list[float]:
+    """Wait for a quiet host window before the scaling block.
+
+    The r3 postmortem: the engine measured 0.92-1.02 raw in quiet windows,
+    but the RECORDED block landed in a contended one (pair ceilings
+    0.846-0.918) and the artifact said 0.726. The ceiling sample is
+    engine-independent (numpy kernel, no Spark), so gating on it cannot
+    bias the efficiency estimate — it only picks WHEN to measure, never
+    WHAT was measured. Every deferral is logged to stderr and returned for
+    the record."""
+    samples = []
+    for i in range(max_deferrals + 1):
+        c = _hw_ceiling_sample(n_small, n_big)
+        samples.append(round(c, 3))
+        if c >= thresh or i == max_deferrals:
+            break
+        print(
+            f"[bench] host contended (ceiling {c:.3f} < {thresh}); "
+            f"deferring scaling block {i + 1}/{max_deferrals}",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(45)
+    return samples
+
+
 def _hw_calib_work(procs):
     """One engine-representative work quantum: stream + random gather + sort
     over ~96 MB, pinned to the same CPUs the pipeline's taskset uses."""
@@ -292,17 +318,23 @@ def main() -> None:
     spatial_wall = timings["geolocate_cells"] + timings["tile_assignment"] + timings["pip_join"]
     spark.stop()
 
+    # Compact headline record — printed as the FINAL stdout line. The round
+    # driver's tail capture truncated r3's single giant line mid-object
+    # (BENCH_r03.json parsed:null), so the bulky per-run logs now live only
+    # in the full record written to BENCH_full.json in-repo.
     result = {
         "metric": "headline_suite_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "queries_runs": runs_log,
         "sf": sf,
         "cores": cores,
         "n_images": n_images,
         "spatial_images_per_sec": round(n_images / max(spatial_wall, 1e-9), 1),
+        "full_record": "BENCH_full.json",
     }
+    full = dict(result)
+    full["queries_runs"] = runs_log
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         # N-vs-4N cluster-size evidence (north rule), in-sandbox protocol:
@@ -337,7 +369,35 @@ def main() -> None:
         replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "480"))
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
         n_small, n_big = 2, 8
-        pr = _scaling_pairs(zpath, sf_dir, n_small, n_big, replicate, reps)
+        # Quiet-window gate + block retry (r3 verdict item 2): the ceiling
+        # sample is engine-independent, so gating/selecting on IT (never on
+        # the measured efficiency) is unbiased. Protocol: wait for a ceiling
+        # >= QUIET_THRESH sample (bounded deferrals), run the block; if the
+        # block's own contemporaneous pair-ceiling median came in below the
+        # threshold anyway (contention arrived mid-block), run one more block
+        # and record BOTH — the headline block is the one whose ceilings say
+        # it ran on the quieter host.
+        quiet_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_CEILING", "0.9"))
+        max_blocks = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_BLOCKS", "2"))
+        import statistics as _st
+
+        blocks = []
+        for battempt in range(max_blocks):
+            gate = _quiet_gate(n_small, n_big, quiet_thresh, max_deferrals=4)
+            pr_i = _scaling_pairs(zpath, sf_dir, n_small, n_big, replicate, reps)
+            pr_i["gate_samples"] = gate
+            pr_i["ceiling_median"] = round(_st.median(pr_i["pair_ceilings"]), 3)
+            blocks.append(pr_i)
+            if pr_i["ceiling_median"] >= quiet_thresh:
+                break
+            print(
+                f"[bench] scaling block {battempt + 1} ran contended "
+                f"(pair-ceiling median {pr_i['ceiling_median']}); "
+                + ("retrying once" if battempt + 1 < max_blocks else "out of retries"),
+                file=sys.stderr,
+                flush=True,
+            )
+        pr = max(blocks, key=lambda b: b["ceiling_median"])
         thr_small = pr["small"]["points"] / pr["small"]["pipeline_s"]
         thr_big = pr["big"]["points"] / pr["big"]["pipeline_s"]
         result["scaling"] = {
@@ -345,10 +405,17 @@ def main() -> None:
                 f"taskset-pinned {n_small} vs {n_big} CPUs, {reps} interleaved "
                 "pairs (run order alternates per pair), each with a "
                 "contemporaneous hw-ceiling sample; medians across pairs, "
-                "plus best-pair and min-runs estimators"
+                "plus best-pair and min-runs estimators; quiet-window gate "
+                f"(engine-independent ceiling >= {quiet_thresh} before the "
+                "block, one block retry if contention arrived mid-block; "
+                "headline block selected by ceiling median, never by "
+                "efficiency)"
             ),
             "replicate": replicate,
             "points": pr["big"]["points"],
+            "gate_samples": pr["gate_samples"],
+            "blocks_run": len(blocks),
+            "ceiling_median": pr["ceiling_median"],
             f"images_per_sec_n{n_small}": round(thr_small, 1),
             f"images_per_sec_n{n_big}": round(thr_big, 1),
             f"pipeline_s_n{n_small}": pr["small_runs"],
@@ -372,7 +439,13 @@ def main() -> None:
             "tile_checksum_match": pr["small"]["tile_checksum"]
             == pr["big"]["tile_checksum"],
         }
+        full["scaling"] = dict(result["scaling"])
+        # every block in full detail (incl. the representative run records),
+        # so a contended-then-retried session is fully auditable
+        full["scaling_blocks"] = blocks
 
+    with open(os.path.join(REPO, "BENCH_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
     print(json.dumps(result))
 
 

@@ -79,6 +79,31 @@ def decode_tags(blocks: DataFrame) -> DataFrame:
     )
 
 
+def decode_way_refs(way_blocks: DataFrame) -> DataFrame:
+    """way blocks → (way_id, nod_id, order_) — the way-refs delta decode
+    (readosm.c:1423-1433: each ref is a sint64 delta against the previous
+    ref within the SAME way) emitted in pbf2sqlite's way_nod shape
+    (pbf2sqlite.c:755-770: INSERT INTO nod_way(way_id, nod_id, order_)).
+
+    D5's second instance: decode_nodes cumsums across a block's node stream;
+    here the cumsum window partitions by way, so state is bounded by way
+    length (reference convention ≤2000 refs/way) and the only shuffle is on
+    way_id — embarrassingly parallel at any table size.
+    """
+    ways = way_blocks.select(
+        F.explode(F.arrays_zip("way_id", "refs_dz")).alias("w")
+    ).select(F.col("w.way_id").alias("way_id"), F.col("w.refs_dz").alias("refs_dz"))
+    e = ways.select("way_id", F.posexplode("refs_dz").alias("order_", "dz"))
+    w = Window.partitionBy("way_id").orderBy("order_").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "way_id",
+        F.sum(zigzag_decode_col(F.col("dz"))).over(w).alias("nod_id"),
+        F.col("order_").cast("int").alias("order_"),
+    )
+
+
 def decode_entities(blocks: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (nodes, tags) where tags carry the resolved image_id (EAV table —
     the analogue of pbf2sqlite's `tag(nod_id, k, v)`, pbf2sqlite.c:460-468)."""

@@ -59,6 +59,41 @@ def caption_tags(caption: str) -> list[tuple[str, str]]:
     ]
 
 
+WAY_BLOCK_SZ = 200  # ways per block (reference convention ≤8000 entities)
+
+
+def encode_way_blocks(
+    n_images: int, n_ways: int | None = None, block_sz: int = WAY_BLOCK_SZ
+) -> pd.DataFrame:
+    """Way-stream analogue of encode_blocks: per-block way arrays where each
+    way's refs[] is zigzag(delta)-coded WITHIN the way starting from 0 —
+    exactly the wire form readosm.c:1423-1433 decodes (sint64 deltas against
+    the previous ref). Way ids are plain: unlike DenseNodes, Way.id is not
+    cross-entity delta-coded (osmformat.proto Way message).
+
+    Refs jump around the node-ordinal space deterministically, so deltas go
+    negative and the zigzag branch is genuinely exercised.
+    """
+    if n_ways is None:
+        n_ways = max(n_images // 20, 8)
+    rows = []
+    for b0 in range(0, n_ways, block_sz):
+        way_id, refs_dz = [], []
+        for w in range(b0, min(b0 + block_sz, n_ways)):
+            j = np.arange(3 + (w % 6), dtype=np.int64)
+            refs = (w * 1009 + j * 2003 + j * j * 7) % n_images
+            way_id.append(1_000_000 + w)
+            refs_dz.append(zigzag_encode(np.diff(refs, prepend=np.int64(0))).tolist())
+        rows.append(
+            {
+                "block_id": np.int64(b0 // block_sz),
+                "way_id": way_id,
+                "refs_dz": refs_dz,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def encode_blocks(images: pd.DataFrame, block_sz: int = BLOCK_SZ) -> pd.DataFrame:
     """images table → blocks table (one row per block)."""
     n = len(images)

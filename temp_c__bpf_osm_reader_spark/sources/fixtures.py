@@ -148,6 +148,28 @@ def ensure_blocks(n: int) -> str:
     return p
 
 
+def way_blocks_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"way_blocks_{n}.parquet")
+
+
+def ensure_way_blocks(n: int) -> str:
+    """Way-stream blocks (refs zigzag-delta-coded within each way) — input of
+    operators/decode.decode_way_refs. Content is pure arithmetic on ordinals
+    (no geo spec dependency), so no GEO_TAG in the name."""
+    p = way_blocks_path(n)
+    if not os.path.exists(p):
+        df = blocks_mod.encode_way_blocks(n)
+        schema = pa.schema(
+            [
+                ("block_id", pa.int64()),
+                ("way_id", pa.list_(pa.int64())),
+                ("refs_dz", pa.list_(pa.list_(pa.int64()))),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), p)
+    return p
+
+
 # ---------------------------------------------------------------- goldens
 
 def golden_geo_path(n: int) -> str:
