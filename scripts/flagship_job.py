@@ -42,6 +42,13 @@ def main() -> None:
         "cluster must not get a smaller task graph",
     )
     ap.add_argument(
+        "--pip-res",
+        type=int,
+        default=None,
+        help="cell resolution of the PIP classified cover (default "
+        "spatial_join.PIP_RES); finer = fewer ray casts, 4x cover rows/level",
+    )
+    ap.add_argument(
         "--snapshot-dir",
         default=None,
         help="run the pipeline as snapshot-committed stages with per-partition "
@@ -156,7 +163,8 @@ def main() -> None:
         F.sum(F.hash("cell_id", "image_id", "order_").cast("bigint")),
         F.count(F.lit(1)),
     ).collect()
-    spatial_join.pip_join(warm_rp.select("image_id", "lat", "lon"), polys).count()
+    pip_res = args.pip_res or spatial_join.PIP_RES
+    spatial_join.pip_join(warm_rp.select("image_id", "lat", "lon"), polys, res=pip_res).count()
     warm_rp.unpersist()
 
     t0 = time.time()
@@ -188,7 +196,7 @@ def main() -> None:
     t0 = time.time()
     # PIP reads the SAME cached range-shuffled frame the tile stage built —
     # no second materialization of the points, no assign() round-trip
-    pip = spatial_join.pip_join(rp.select("image_id", "lat", "lon"), polys)
+    pip = spatial_join.pip_join(rp.select("image_id", "lat", "lon"), polys, res=pip_res)
     n_pip = pip.count()
     timings["pip_join"] = round(time.time() - t0, 3)
     pipeline_s = timings["geo_tile"] + timings["pip_join"]
@@ -218,7 +226,7 @@ def main() -> None:
             "tiles",
             lambda: indexing.tile_assignment_scalable(pts_s, 7, partitions=n_parts),
         )
-        sp.run_stage("pip", lambda: spatial_join.pip_join(pts_s, polys))
+        sp.run_stage("pip", lambda: spatial_join.pip_join(pts_s, polys, res=pip_res))
         snapshot = {
             "resumed": resumed,
             "manifests": {n: sp.manifest(n) for n in stage_names},

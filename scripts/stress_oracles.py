@@ -1,0 +1,140 @@
+"""One-off scale stress pass (round-4 verdict item 6): run EVERY oracle
+compare at a bigger sf than the driver's sf0.01 gate — default the synthetic
+data/sf1.0 (n_images = 1,060,000; tables from scripts/make_sf1.py) — and
+record per-query pass/fail + wall time to STRESS_<base>.json.
+
+Mirrors tests/test_oracles.py's comparison exactly (row count, sorted
+columns, exact values); failures don't stop the pass — the point is the
+complete per-query table, including the queries that only break at scale
+(window state growth, int overflow in pack branches, fixture-generator
+asymptotics).
+
+Usage: python scripts/stress_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "data", "sf1.0")
+ONLY = set(sys.argv[2:])
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+BASE = os.path.basename(os.path.normpath(SF_DIR))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = {}
+    for c in sorted(pdf.columns):
+        s = pdf[c]
+        if pd.api.types.is_integer_dtype(s):
+            try:
+                s = s.astype("int64")
+            except (TypeError, ValueError, OverflowError):
+                pass
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        out[c] = s
+    df = pd.DataFrame(out)
+    return df.sort_values(list(df.columns), kind="mergesort", ignore_index=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
+    if len(spark_pdf) != len(duck_pdf):
+        return f"row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        return f"columns {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            ok = np.array_equal(av.astype("float64"), bv.astype("float64"), equal_nan=True)
+        else:
+            ok = bool((pd.Series(av).fillna("\0") == pd.Series(bv).fillna("\0")).all())
+        if not ok:
+            mism = np.flatnonzero(
+                ~(pd.Series(av).astype(str) == pd.Series(bv).astype(str)).to_numpy()
+            )[:3]
+            return (
+                f"{c}: mismatch at rows {mism.tolist()}; "
+                f"spark={av[mism].tolist()} oracle={bv[mism].tolist()}"
+            )
+    return None
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
+        from scripts.make_sf1 import make
+
+        print(f"[stress] generating {SF_DIR} ...", flush=True)
+        make(SF_DIR)
+
+    from temp_c__bpf_osm_reader_spark import api
+    from temp_c__bpf_osm_reader_spark.session import get_spark
+
+    t0 = time.time()
+    print(f"[stress] ensuring fixtures at {SF_DIR} (n={api._N}) ...", flush=True)
+    api.ensure_oracle_fixtures()
+    print(f"[stress] fixtures ready in {time.time() - t0:.0f}s", flush=True)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    spark = get_spark(app=f"stress-{BASE}")
+    qs, oracles = api.queries(), api.oracle_sql()
+    names = [n for n in qs if not ONLY or n in ONLY]
+    results: dict[str, dict] = {}
+    out_path = os.path.join(REPO, f"STRESS_{BASE}.json")
+    for i, name in enumerate(names):
+        rec: dict = {}
+        t1 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            if name in oracles:
+                spdf = sdf.toPandas()
+                rec["spark_s"] = round(time.time() - t1, 1)
+                t2 = time.time()
+                dpdf = con.execute(oracles[name]).df()
+                rec["oracle_s"] = round(time.time() - t2, 1)
+                rec["rows"] = len(spdf)
+                err = _compare(spdf, dpdf)
+                rec["status"] = "pass" if err is None else "FAIL"
+                if err:
+                    rec["err"] = err
+            else:
+                rec["rows"] = sdf.count()
+                rec["spark_s"] = round(time.time() - t1, 1)
+                rec["status"] = "rows_only"
+        except Exception as exc:  # noqa: BLE001 — the table IS the deliverable
+            rec["status"] = "ERROR"
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:500]
+            traceback.print_exc()
+        rec["wall_s"] = round(time.time() - t1, 1)
+        results[name] = rec
+        print(f"[stress] {i + 1}/{len(names)} {name}: {rec['status']} {rec['wall_s']}s", flush=True)
+        with open(out_path, "w") as fh:
+            json.dump({"sf_dir": SF_DIR, "n_images": api._N, "results": results}, fh, indent=1)
+        spark.catalog.clearCache()
+    bad = {k: v for k, v in results.items() if v["status"] not in ("pass", "rows_only")}
+    print(f"[stress] done: {len(results) - len(bad)}/{len(results)} ok; failures: {sorted(bad)}")
+
+
+if __name__ == "__main__":
+    main()
