@@ -34,7 +34,15 @@ from pyspark.sql import types as T
 from ..functions import geo
 from .indexing import grid_cell_col
 
-PIP_RES = 7
+# Cover resolution default. Measured at the flagship scale (sf0.1 ×480 =
+# 50.9 M points, pinned 8 cores, 2 interleaved passes, scripts/pip_res_probe):
+# res 7 best 4.20 s / res 8 best 3.70 s / res 9 best 3.89 s pip stage; output
+# row set identical (6,103,286) at all three — the refine is exact, res only
+# moves the prefilter/refine split. res 8 quadruples the driver-side cover
+# (still ~24k rows at the sf0.1 polygon layer — broadcast-trivial) and drops
+# enough boundary-cell ray casts to win ~12%; res 9's extra cover cost eats
+# the remaining gain.
+PIP_RES = 8
 
 
 def _classify_cover(polygons: pd.DataFrame, res: int) -> pd.DataFrame:

@@ -41,7 +41,7 @@ SEED = 42
 KNN_K = 5
 KNN_RES = 7
 KNN_RING = 2
-PIP_RES = 7
+PIP_RES = 8  # kept in sync with operators/spatial_join.PIP_RES (measured default)
 
 
 def n_images_for_sf(sf_dir: str) -> int:
