@@ -172,7 +172,9 @@ def _hw_ceiling_sample(n_small: int, n_big: int) -> float:
     return min(thr[n_big] / ((n_big / n_small) * thr[n_small]), 1.0)
 
 
-def _quiet_gate(n_small: int, n_big: int, thresh: float, max_deferrals: int) -> list[float]:
+def _quiet_gate(
+    n_small: int, n_big: int, thresh: float, max_deferrals: int, sleep_s: float = 45.0
+) -> list[float]:
     """Wait for a quiet host window before the scaling block.
 
     The r3 postmortem: the engine measured 0.92-1.02 raw in quiet windows,
@@ -194,7 +196,7 @@ def _quiet_gate(n_small: int, n_big: int, thresh: float, max_deferrals: int) -> 
             file=sys.stderr,
             flush=True,
         )
-        time.sleep(45)
+        time.sleep(sleep_s)
     return samples
 
 
@@ -379,11 +381,19 @@ def main() -> None:
         # it ran on the quieter host.
         quiet_thresh = float(os.environ.get("SPARK_GRAFT_QUIET_CEILING", "0.9"))
         max_blocks = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_BLOCKS", "2"))
+        # patience knobs: the host's contention windows run ~10 min (r3
+        # measurements), so 4x45s of waiting can sit entirely inside one;
+        # long unattended runs can afford more patience without bias (the
+        # gate only ever picks WHEN, never WHAT)
+        max_defer = int(os.environ.get("SPARK_GRAFT_QUIET_DEFERRALS", "4"))
+        defer_sleep = float(os.environ.get("SPARK_GRAFT_QUIET_SLEEP", "45"))
         import statistics as _st
 
         blocks = []
         for battempt in range(max_blocks):
-            gate = _quiet_gate(n_small, n_big, quiet_thresh, max_deferrals=4)
+            gate = _quiet_gate(
+                n_small, n_big, quiet_thresh, max_deferrals=max_defer, sleep_s=defer_sleep
+            )
             pr_i = _scaling_pairs(zpath, sf_dir, n_small, n_big, replicate, reps)
             pr_i["gate_samples"] = gate
             pr_i["ceiling_median"] = round(_st.median(pr_i["pair_ceilings"]), 3)
