@@ -76,6 +76,35 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
     return None
 
 
+def _verify_bucketed_near_dup(spdf: pd.DataFrame, n: int) -> str | None:
+    """Spec-derived replacement for the all-pairs DuckDB oracle, which is
+    O(n^2) in emb_dups rows (5.6e9 pairs at the sf1.0 stress scale — hours
+    in SQL, so the oracle is skipped and the output is pinned against the
+    GENERATOR spec instead): fixtures.ensure_emb_dups plants vec i % 4 == 1
+    (i > 0) as a near-copy of vec i-1 at cosine ~0.9994, and asserts at
+    generation that every background pair stays < 0.78 < tau = 0.8, so the
+    exact near-dup pair set IS the planted set — each pair (i-1, i), sim in
+    [0.99, 1], found by LSH with per-pair miss probability ~1e-17."""
+    exp = [(i - 1, i) for i in range(1, n) if i % 4 == 1]
+    got = sorted(zip(spdf["vec1"].astype(int), spdf["vec2"].astype(int)))
+    if got != exp:
+        extra = [p for p in got if p not in set(exp)][:3]
+        missing = [p for p in exp if p not in set(got)][:3]
+        return f"pair set != planted set: extra={extra} missing={missing}"
+    sims = spdf["sim"].astype(float)
+    if not ((sims >= 0.99) & (sims <= 1.0)).all():
+        return f"planted sim out of range: [{sims.min()}, {sims.max()}]"
+    return None
+
+
+# Queries whose ORACLE (not the engine) is quadratic in a table that grows
+# with the stress scale; each maps to a spec-derived verifier over the spark
+# result so the engine side still gets a hard check at scale.
+ORACLE_QUADRATIC = {
+    "emb_near_dup_bucketed": _verify_bucketed_near_dup,
+}
+
+
 def main() -> None:
     if not os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
         from scripts.make_sf1 import make
@@ -107,7 +136,16 @@ def main() -> None:
         t1 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
-            if name in oracles:
+            if name in ORACLE_QUADRATIC:
+                spdf = sdf.toPandas()
+                rec["spark_s"] = round(time.time() - t1, 1)
+                rec["rows"] = len(spdf)
+                err = ORACLE_QUADRATIC[name](spdf, api._N // 10)
+                rec["status"] = "pass_spec" if err is None else "FAIL"
+                rec["oracle"] = "spec-derived (SQL oracle quadratic at stress scale)"
+                if err:
+                    rec["err"] = err
+            elif name in oracles:
                 spdf = sdf.toPandas()
                 rec["spark_s"] = round(time.time() - t1, 1)
                 t2 = time.time()
@@ -132,7 +170,11 @@ def main() -> None:
         with open(out_path, "w") as fh:
             json.dump({"sf_dir": SF_DIR, "n_images": api._N, "results": results}, fh, indent=1)
         spark.catalog.clearCache()
-    bad = {k: v for k, v in results.items() if v["status"] not in ("pass", "rows_only")}
+    bad = {
+        k: v
+        for k, v in results.items()
+        if v["status"] not in ("pass", "pass_spec", "rows_only")
+    }
     print(f"[stress] done: {len(results) - len(bad)}/{len(results)} ok; failures: {sorted(bad)}")
 
 

@@ -380,8 +380,9 @@ def emb_near_dup_bucketed(
     exact all-pairs result, and equals it when every qualifying pair collides
     in some band. On the planted-duplicate table (fixtures.ensure_emb_dups —
     planted cosine ≥ 0.99 ⇒ per-pair miss probability ~1e-17; background
-    pairs < 0.7 < tau) the equality is exact, which the DuckDB all-pairs
-    oracle checks value-for-value. At threshold regimes where LSH cannot
+    pairs asserted < 0.78 < tau at generation, blockwise-sampled at stress
+    scale) the equality is exact, which the DuckDB all-pairs oracle checks
+    value-for-value. At threshold regimes where LSH cannot
     guarantee recall (tau ≲ 0.5 — see near_dup_pairs, the exact oracle twin),
     there is no sub-quadratic exact method for dense vectors; the operator's
     contract is the high-similarity regime a dedup pipeline actually runs.

@@ -375,16 +375,37 @@ def ensure_emb_dups(n: int) -> str:
     src = np.flatnonzero(planted)
     v[src] = v[src - 1] + EMB_DUPS_NOISE * noise[src]
     v32 = v.astype(np.float32)
-    # margin assertions on the float32-stored values (what consumers read)
+    # Margin assertions on the float32-stored values (what consumers read).
+    # The naive all-pairs n x n cosine matrix is O(n^2) memory — 90 GB at the
+    # sf1.0 stress scale (n = 106k), where it OOM-killed the fixture build —
+    # so the background check runs blockwise over an evenly-spaced row sample:
+    # exhaustive (every row) for n <= bg cap, sampled rows x ALL columns above.
+    # The bound the DESIGN needs is background < ND_TAU = 0.8 (that is what
+    # makes the LSH-bucketed near-dup equal the exact twin); 0.78 keeps margin
+    # for the round(., 6) refine. The historical 0.7 claim holds at oracle
+    # scale (n ~ 10^4), but the max over ~n^2/2 cosines of 64-dim independent
+    # vectors grows like sd * sqrt(2 ln(n^2/2)) with sd = 1/8 — its expected
+    # value is ~0.70 at n = 106k, so asserting 0.7 at stress scale would flag
+    # a statistically healthy table.
     vd = v32.astype(np.float64)
     nrm = np.linalg.norm(vd, axis=1)
-    cos = (vd @ vd.T) / np.outer(nrm, nrm)
-    pl = cos[src, src - 1]
+    pl = (vd[src] * vd[src - 1]).sum(axis=1) / (nrm[src] * nrm[src - 1])
     assert pl.min() > 0.99, f"planted sim too low: {pl.min()}"
-    cos[src, src - 1] = 0.0
-    cos[src - 1, src] = 0.0
-    np.fill_diagonal(cos, 0.0)
-    assert cos.max() < 0.7, f"background sim too high: {cos.max()}"
+    unit = vd / nrm[:, None]
+    check_rows = np.unique(np.linspace(0, n - 1, min(n, 20000)).astype(np.int64))
+    bg_max = 0.0
+    for c0 in range(0, len(check_rows), 1024):
+        rows = check_rows[c0 : c0 + 1024]
+        cos = unit[rows] @ unit.T
+        ar = np.arange(len(rows))
+        cos[ar, rows] = 0.0                      # self
+        m1 = planted[rows]                       # row is the planted copy
+        cos[ar[m1], rows[m1] - 1] = 0.0
+        nxt = np.minimum(rows + 1, n - 1)        # row is a planted source
+        m2 = (rows + 1 < n) & planted[nxt]
+        cos[ar[m2], nxt[m2]] = 0.0
+        bg_max = max(bg_max, float(cos.max()))
+    assert bg_max < 0.78, f"background sim too high: {bg_max}"
     tbl = pa.table(
         {
             "vec_id": pa.array(np.arange(n, dtype=np.int64)),
