@@ -105,6 +105,71 @@ ORACLE_QUADRATIC = {
 }
 
 
+def _checksum_compare(sdf, con, oracle_sql: str) -> dict:
+    """Distributed value check for results too large to collect to the driver
+    (spark.driver.maxResultSize) — the comparison a real cluster job would
+    use. Spark aggregates JVM-side: exact row count + exact sum (decimal(38),
+    overflow-free) of the chained multi-column xxhash64 row hash, one tiny
+    row to the driver. The oracle side reproduces the IDENTICAL row hash with
+    the bit-exact numpy twin of Spark's xxhash64 (functions/hashing.xxh64_long
+    chained per column — pinned against Spark in
+    tests/test_spark_geo.py::test_xxh64_twin_matches_spark) over the DuckDB
+    result read as Arrow. Integer-typed, null-free columns only — a hash-sum
+    equality here is the same evidence strength as the driver's value-hash."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from temp_c__bpf_osm_reader_spark.functions import hashing as H
+
+    cols = sorted(sdf.columns)
+    int_kinds = {"tinyint", "smallint", "int", "bigint", "integer", "long", "short", "byte"}
+    bad_types = [
+        (f.name, f.dataType.simpleString())
+        for f in sdf.schema.fields
+        if f.dataType.simpleString() not in int_kinds
+    ]
+    if bad_types:
+        return {"status": "ERROR", "err": f"checksum compare needs int columns, got {bad_types}"}
+
+    rowh = F.xxhash64(*[F.col(c).cast("long") for c in cols])
+    nullc = sum(F.sum(F.col(c).isNull().cast("long")) for c in cols)
+    agg = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rowh.cast("decimal(38,0)")).alias("hsum"),
+        nullc.alias("nulls"),
+    ).collect()[0]
+    if agg["nulls"]:
+        return {"status": "ERROR", "err": f"checksum compare saw {agg['nulls']} spark-side NULLs"}
+
+    tab = con.execute(oracle_sql).arrow()
+    if sorted(tab.column_names) != cols:
+        return {
+            "status": "FAIL",
+            "err": f"columns {cols} vs oracle {sorted(tab.column_names)}",
+        }
+    hs = H.XXH64_SEED
+    for c in cols:
+        col = tab.column(c).combine_chunks()
+        if col.null_count:
+            return {"status": "ERROR", "err": f"oracle col {c} has NULLs"}
+        hs = H.xxh64_long(np.asarray(col.cast(pa.int64()), dtype=np.int64), seed=hs)
+    o_sum = int(hs.view(np.int64).astype(object).sum())
+    rec = {
+        "rows": int(agg["n"]),
+        "oracle_rows": tab.num_rows,
+        "hash_sum": str(int(agg["hsum"])),
+        "oracle_hash_sum": str(o_sum),
+        "oracle": "distributed xxhash64 checksum (result > maxResultSize)",
+    }
+    if int(agg["n"]) != tab.num_rows:
+        rec.update(status="FAIL", err=f"row count {agg['n']} vs oracle {tab.num_rows}")
+    elif int(agg["hsum"]) != o_sum:
+        rec.update(status="FAIL", err="xxhash64 row-hash sums differ")
+    else:
+        rec["status"] = "pass_checksum"
+    return rec
+
+
 def main() -> None:
     if not os.path.exists(os.path.join(SF_DIR, "lineitem.parquet")):
         from scripts.make_sf1 import make
@@ -129,8 +194,12 @@ def main() -> None:
     spark = get_spark(app=f"stress-{BASE}")
     qs, oracles = api.queries(), api.oracle_sql()
     names = [n for n in qs if not ONLY or n in ONLY]
-    results: dict[str, dict] = {}
     out_path = os.path.join(REPO, f"STRESS_{BASE}.json")
+    results: dict[str, dict] = {}
+    if ONLY and os.path.exists(out_path):
+        # partial rerun: merge over the existing record instead of clobbering
+        with open(out_path) as fh:
+            results = json.load(fh).get("results", {})
     for i, name in enumerate(names):
         rec: dict = {}
         t1 = time.time()
@@ -146,16 +215,25 @@ def main() -> None:
                 if err:
                     rec["err"] = err
             elif name in oracles:
-                spdf = sdf.toPandas()
-                rec["spark_s"] = round(time.time() - t1, 1)
-                t2 = time.time()
-                dpdf = con.execute(oracles[name]).df()
-                rec["oracle_s"] = round(time.time() - t2, 1)
-                rec["rows"] = len(spdf)
-                err = _compare(spdf, dpdf)
-                rec["status"] = "pass" if err is None else "FAIL"
-                if err:
-                    rec["err"] = err
+                try:
+                    spdf = sdf.toPandas()
+                except Exception as exc:  # noqa: BLE001
+                    if "maxResultSize" not in str(exc):
+                        raise
+                    # result too big for a driver collect — verify the way a
+                    # cluster job would: distributed checksum, no collect
+                    rec = _checksum_compare(sdf, con, oracles[name])
+                    rec["spark_s"] = round(time.time() - t1, 1)
+                else:
+                    rec["spark_s"] = round(time.time() - t1, 1)
+                    t2 = time.time()
+                    dpdf = con.execute(oracles[name]).df()
+                    rec["oracle_s"] = round(time.time() - t2, 1)
+                    rec["rows"] = len(spdf)
+                    err = _compare(spdf, dpdf)
+                    rec["status"] = "pass" if err is None else "FAIL"
+                    if err:
+                        rec["err"] = err
             else:
                 rec["rows"] = sdf.count()
                 rec["spark_s"] = round(time.time() - t1, 1)
@@ -173,7 +251,7 @@ def main() -> None:
     bad = {
         k: v
         for k, v in results.items()
-        if v["status"] not in ("pass", "pass_spec", "rows_only")
+        if v["status"] not in ("pass", "pass_spec", "pass_checksum", "rows_only")
     }
     print(f"[stress] done: {len(results) - len(bad)}/{len(results)} ok; failures: {sorted(bad)}")
 

@@ -333,12 +333,16 @@ def _xxh_fmix(h: np.ndarray) -> np.ndarray:
     return h
 
 
-def xxh64_long(x: np.ndarray, seed: int | np.uint64 = XXH64_SEED) -> np.ndarray:
+def xxh64_long(x: np.ndarray, seed: int | np.uint64 | np.ndarray = XXH64_SEED) -> np.ndarray:
     """Spark `xxhash64(<bigint col>)`: XXH64.hashLong(x, seed) vectorized.
-    Input int64 or uint64 array (bits reinterpreted); returns uint64."""
+    Input int64 or uint64 array (bits reinterpreted); returns uint64.
+    `seed` may be a per-row uint64 array — Spark's multi-column
+    `xxhash64(c1, c2, ...)` chains each column's hash as the next column's
+    seed, so `xxh64_long(c2, xxh64_long(c1))` reproduces it exactly."""
     v = np.asarray(x).astype(np.int64, copy=False).view(U64)
-    h = U64(seed) + _XP5 + U64(8)
-    h = np.broadcast_to(h, v.shape).copy() if np.ndim(v) else h
+    h = np.asarray(seed, dtype=U64) + _XP5 + U64(8)
+    if h.ndim == 0 and np.ndim(v):
+        h = np.broadcast_to(h, v.shape).copy()
     k1 = _rotl64(v * _XP2, 31) * _XP1
     h = h ^ k1
     h = _rotl64(h, 27) * _XP1 + _XP4

@@ -221,6 +221,15 @@ def test_xxh64_twin_matches_spark(spark):
     assert got_s == [int(v) for v in tw_s]
     assert got_l == [int(v) for v in tw_l]
     assert got_c == [int(v) for v in tw_c]
+    # multi-column form: xxhash64(a, b) chains a's hash as b's seed — the
+    # contract the stress harness's distributed checksum compare relies on
+    df_2 = spark.createDataFrame(list(zip(longs, longs[::-1])), "a bigint, b bigint")
+    got_2 = [r[0] for r in df_2.select(F.xxhash64("a", "b")).collect()]
+    tw_2 = H.xxh64_long(
+        np.array(longs[::-1], dtype=np.int64),
+        seed=H.xxh64_long(np.array(longs, dtype=np.int64)),
+    ).view(np.int64)
+    assert got_2 == [int(v) for v in tw_2]
 
 
 def test_geolocate_expr_bitidentical_to_kernel(spark, fx):
