@@ -14,6 +14,7 @@ sqrt-association difference.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -349,24 +350,42 @@ ND_BANDS = 16
 ND_BITS = 8
 ND_SEED = 5151
 ND_TAU = 0.8
+ND_TARGET_BUCKET = 16
 
 
-def _nd_planes() -> np.ndarray:
-    """(ND_BANDS * ND_BITS, SRP_DIM) deterministic hyperplanes in [-1, 1)."""
-    idx = np.arange(ND_BANDS * ND_BITS * SRP_DIM, dtype=np.int64) + ND_SEED
-    return (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(ND_BANDS * ND_BITS, SRP_DIM)
+def nd_bits_for(n: int) -> int:
+    """Band width scaled with log2(n) so E[bucket size] stays ~ND_TARGET_BUCKET
+    (candidate count then grows ~linearly in n instead of n^2/2^bits). Floor at
+    ND_BITS keeps the small-sf oracle path byte-identical; cap at 48 so the key
+    packs with band_id into one BIGINT. Recall at the planted-dup regime
+    (cos >= 0.99 => p_bit ~ 0.989) stays ~1 even at the cap: per-band collision
+    0.989^48 ~ 0.59, 16-band miss probability 0.41^16 ~ 7e-7.
+
+    This closed the sf1.0 stress failure: fixed 8-bit bands at n = 106k meant
+    ~414 rows/bucket -> ~3.5e8 candidate pairs, each dragging two 64-double
+    vectors through the join + dedup shuffle (hundreds of GB of spill)."""
+    return max(ND_BITS, min(48, math.ceil(math.log2(max(n, 2) / ND_TARGET_BUCKET))))
 
 
-@F.pandas_udf(T.ArrayType(T.IntegerType()))
-def nd_band_keys_udf(v: pd.Series) -> pd.Series:
-    """Per-band SRP keys: ND_BANDS ints, each packing ND_BITS sign bits."""
-    planes = _nd_planes()
-    mat = np.stack(v.to_numpy())
-    bits = (mat @ planes.T) > 0                      # (n, bands*bits)
-    bits = bits.reshape(len(mat), ND_BANDS, ND_BITS)
-    weights = (1 << np.arange(ND_BITS)).astype(np.int64)
-    keys = (bits @ weights).astype(np.int32)          # (n, bands)
-    return pd.Series(list(keys))
+def _nd_planes(bits: int = ND_BITS) -> np.ndarray:
+    """(ND_BANDS * bits, SRP_DIM) deterministic hyperplanes in [-1, 1)."""
+    idx = np.arange(ND_BANDS * bits * SRP_DIM, dtype=np.int64) + ND_SEED
+    return (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(ND_BANDS * bits, SRP_DIM)
+
+
+def _nd_band_keys_udf(bits: int):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def nd_band_keys(v: pd.Series) -> pd.Series:
+        """Per-band SRP keys: ND_BANDS longs, each packing `bits` sign bits."""
+        planes = _nd_planes(bits)
+        mat = np.stack(v.to_numpy())
+        signs = (mat @ planes.T) > 0                  # (n, bands*bits)
+        signs = signs.reshape(len(mat), ND_BANDS, bits)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        keys = signs @ weights                        # (n, bands) int64
+        return pd.Series(list(keys))
+
+    return nd_band_keys
 
 
 def emb_near_dup_bucketed(
@@ -387,43 +406,55 @@ def emb_near_dup_bucketed(
     there is no sub-quadratic exact method for dense vectors; the operator's
     contract is the high-similarity regime a dedup pipeline actually runs.
 
-    Shuffle profile at 10^12 rows: one narrow signature pass, one shuffle on
-    (band_id, key) whose buckets shrink as ND_BITS grows with log(n), one
-    dropDuplicates on (vec1, vec2) — the text MinHash/ngram pattern applied
-    to vectors.
+    Shuffle profile at 10^12 rows: one narrow signature pass; one self-join on
+    a single folded BIGINT key (band_id << 48 | key) carrying ONLY vec_id pairs
+    — band width nd_bits_for(n) keeps E[bucket] ~ O(1) so candidates grow
+    linearly in n; one dropDuplicates over (vec1, vec2) longs; then two
+    vec_id equi-joins re-attach the vectors for the exact refine. The vectors
+    themselves never ride through the candidate or dedup shuffles (the sf1.0
+    stress-pass disk-spill fix — see nd_bits_for).
     """
     from ..sources import fixtures
 
     nv = fixtures.n_dup_vecs_for(fixtures.n_images_for_sf(sf_dir))
     df = spark.read.parquet(fixtures.ensure_emb_dups(nv))
     base = df.withColumn("v", F.expr("transform(embedding, x -> cast(x as double))"))
-    base = _with_norm(base).select(
-        "vec_id", "v", "norm", nd_band_keys_udf(F.col("v")).alias("keys")
+    base = _with_norm(base).select("vec_id", "v", "norm")
+    bits = nd_bits_for(nv)
+    sigs = (
+        base.select("vec_id", _nd_band_keys_udf(bits)(F.col("v")).alias("keys"))
+        .select("vec_id", F.posexplode("keys").alias("band_id", "key"))
+        .select(
+            "vec_id",
+            F.shiftleft(F.col("band_id").cast("long"), 48)
+            .bitwiseOR(F.col("key"))
+            .alias("bkey"),
+        )
     )
-    bands = base.select(
-        "vec_id", "v", "norm", F.posexplode("keys").alias("band_id", "key")
-    )
-    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    s1, s2 = sigs.alias("s1"), sigs.alias("s2")
     cand = (
-        b1.join(
-            b2,
-            (F.col("b1.band_id") == F.col("b2.band_id"))
-            & (F.col("b1.key") == F.col("b2.key"))
-            & (F.col("b1.vec_id") < F.col("b2.vec_id")),
+        s1.join(
+            s2,
+            (F.col("s1.bkey") == F.col("s2.bkey"))
+            & (F.col("s1.vec_id") < F.col("s2.vec_id")),
         )
         .select(
-            F.col("b1.vec_id").alias("vec1"),
-            F.col("b2.vec_id").alias("vec2"),
-            F.col("b1.v").alias("v1"),
-            F.col("b1.norm").alias("n1"),
-            F.col("b2.v").alias("v2"),
-            F.col("b2.norm").alias("n2"),
+            F.col("s1.vec_id").alias("vec1"),
+            F.col("s2.vec_id").alias("vec2"),
         )
         .dropDuplicates(["vec1", "vec2"])
     )
+    v1 = base.select(
+        F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
+    )
+    v2 = base.select(
+        F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
+    )
     sim = F.round(F.expr(_DOT.format(a="v1", b="v2")) / (F.col("n1") * F.col("n2")), 6)
     return (
-        cand.withColumn("sim", sim)
+        cand.join(v1, "vec1")
+        .join(v2, "vec2")
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= tau)
         .select("vec1", "vec2", "sim")
     )
