@@ -250,3 +250,32 @@ def test_batch_text_kernels_equal_reference_path():
     sl = arr.slice(3, 8)
     assert np.array_equal(minhash_sigs_batch(sl), ref_m[3:11])
     assert np.array_equal(simhash_batch(sl), ref_s[3:11])
+
+
+def test_nd_bits_scaling_law():
+    """nd_bits_for must floor at ND_BITS (keeps the small-sf oracle path
+    byte-identical), grow with log2(n) to bound E[bucket size], and cap at 48
+    (key must pack with band_id into one BIGINT). The fixed-width regression
+    this guards: 8-bit bands at n=106k -> ~414 rows/bucket -> ~3.5e8 candidate
+    pairs (the sf1.0 stress-pass disk-spill failure)."""
+    from temp_c__bpf_osm_reader_spark.operators import similarity as S
+
+    assert S.nd_bits_for(1000) == S.ND_BITS == 8
+    assert S.nd_bits_for(4096) == 8          # log2(4096/16) = 8 exactly
+    assert S.nd_bits_for(106_000) == 13      # the stress scale
+    assert S.nd_bits_for(10**12) == 36
+    assert S.nd_bits_for(10**20) == 48       # BIGINT-pack cap
+    # expected bucket size n / 2^bits stays bounded through the growth range
+    for n in (10**4, 10**6, 10**9, 10**12):
+        assert n / (1 << S.nd_bits_for(n)) <= 2 * S.ND_TARGET_BUCKET
+    # the plane prefix is width-stable: the first 8-bit band's planes under a
+    # wider layout are NOT required to match, but the bits=8 layout itself must
+    # reproduce the original fixed-width planes bit-for-bit (oracle identity).
+    import numpy as np
+
+    p8 = S._nd_planes(8)
+    assert p8.shape == (S.ND_BANDS * 8, S.SRP_DIM)
+    idx = np.arange(S.ND_BANDS * 8 * S.SRP_DIM, dtype=np.int64) + S.ND_SEED
+    from temp_c__bpf_osm_reader_spark.functions.hashing import splitmix64, u01
+
+    assert np.array_equal(p8, (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(128, S.SRP_DIM))
