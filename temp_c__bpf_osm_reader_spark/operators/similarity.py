@@ -41,13 +41,33 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, e) -> acc + e)"
 
+EMB_DIM = 64  # embeddings table + emb_dups fixture dimension
+
+
+def _dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Left-fold dot product, codegen edition. Higher-order functions
+    (aggregate/zip_with) are CodegenFallback in Spark — every element costs an
+    interpreted lambda invocation, which dominates the pair-hot ANN / near-dup
+    joins (O(pairs × dim) lambda calls). For the known fixed dim the SAME fold
+    is emitted as a flat left-associative sum `0D + a[0]*b[0] + ... +
+    a[63]*b[63]`: identical operation order from the identical 0D accumulator
+    → bit-identical doubles (the convention the plain-python/numpy golden
+    twins replay), but it stays inside whole-stage codegen. Arrays of any
+    other length take the HOF fold via a lazily-evaluated CASE branch, so the
+    hot branch never pays for the fallback."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    return (
+        f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim} "
+        f"THEN 0D + {terms} ELSE {_DOT.format(a=a, b=b)} END)"
+    )
+
 
 def _cos_expr(a: str, b: str, na: str, nb: str) -> F.Column:
-    return F.expr(_DOT.format(a=a, b=b)) / (F.col(na) * F.col(nb))
+    return F.expr(_dot(a, b)) / (F.col(na) * F.col(nb))
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
-    return df.withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+    return df.withColumn("norm", F.sqrt(F.expr(_dot("v", "v"))))
 
 
 def ann_topk_bruteforce(
@@ -81,7 +101,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = NEAR_DUP_TAU) 
     a = base.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
     b = base.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("norm").alias("n2"))
     sim = F.round(
-        F.expr(_DOT.format(a="v1", b="v2")) / (F.col("n1") * F.col("n2")), 6
+        F.expr(_dot("v1", "v2")) / (F.col("n1") * F.col("n2")), 6
     )
     return (
         a.join(b, F.col("vec1") < F.col("vec2"))
@@ -450,7 +470,7 @@ def emb_near_dup_bucketed(
     v2 = base.select(
         F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
     )
-    sim = F.round(F.expr(_DOT.format(a="v1", b="v2")) / (F.col("n1") * F.col("n2")), 6)
+    sim = F.round(F.expr(_dot("v1", "v2")) / (F.col("n1") * F.col("n2")), 6)
     return (
         cand.join(v1, "vec1")
         .join(v2, "vec2")
