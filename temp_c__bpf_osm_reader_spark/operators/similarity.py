@@ -66,6 +66,20 @@ def _cos_expr(a: str, b: str, na: str, nb: str) -> F.Column:
     return F.expr(_dot(a, b)) / (F.col(na) * F.col(nb))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a compute-bound stage whose INPUT is tiny. The embeddings table
+    is a few MB → 1-2 file splits, and a nested-loop / broadcast join above it
+    inherits that layout, running O(pairs × dim) work on 1-2 cores no matter
+    how many exist (observed: the sf1.0 stress all-pairs refine pinned ONE
+    core for ~30 min). A round-robin repartition to the session's default
+    parallelism costs a ~MB shuffle and buys full-width compute. Every value
+    is row-local, so placement cannot change any result; callers put this
+    AFTER any batch-shape-sensitive pandas UDF column so Arrow batch shapes
+    feeding signatures are unchanged."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", F.sqrt(F.expr(_dot("v", "v"))))
 
@@ -82,7 +96,7 @@ def ann_topk_bruteforce(
     queries = base.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
     )
-    cand = base.select(F.col("vec_id").alias("neighbor_id"), "v", "norm").crossJoin(
+    cand = _spread(base.select(F.col("vec_id").alias("neighbor_id"), "v", "norm")).crossJoin(
         F.broadcast(queries)
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     sim = F.round(_cos_expr("qv", "v", "qnorm", "norm"), 6)
@@ -98,13 +112,15 @@ def ann_topk_bruteforce(
 def near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = NEAR_DUP_TAU) -> DataFrame:
     """Exact embedding near-dup pairs: cosine ≥ tau, vec1 < vec2 → (vec1, vec2, sim)."""
     base = _with_norm(_emb(spark, sf_dir))
-    a = base.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
+    a = _spread(
+        base.select(F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("norm").alias("n1"))
+    )
     b = base.select(F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("norm").alias("n2"))
     sim = F.round(
         F.expr(_dot("v1", "v2")) / (F.col("n1") * F.col("n2")), 6
     )
     return (
-        a.join(b, F.col("vec1") < F.col("vec2"))
+        a.join(F.broadcast(b), F.col("vec1") < F.col("vec2"))
         .withColumn("sim", sim)
         .filter(F.col("sim") >= tau)
         .select("vec1", "vec2", "sim")
@@ -183,8 +199,8 @@ def ann_topk_ivf(
             F.explode(probe_udf(F.col("v"))).alias("centroid_id"),
         )
     )
-    cand = lists.select(
-        F.col("vec_id").alias("neighbor_id"), "v", "norm", "centroid_id"
+    cand = _spread(
+        lists.select(F.col("vec_id").alias("neighbor_id"), "v", "norm", "centroid_id")
     ).join(F.broadcast(queries), "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -268,7 +284,9 @@ def ann_topk_srp(
         F.col("norm").alias("qnorm"),
         F.explode(F.array(*flips)).alias("bucket"),
     )
-    cand = base.select(F.col("vec_id").alias("neighbor_id"), "v", "norm", "bucket").join(
+    cand = _spread(
+        base.select(F.col("vec_id").alias("neighbor_id"), "v", "norm", "bucket")
+    ).join(
         F.broadcast(queries), "bucket"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     sim = F.round(_cos_expr("qv", "v", "qnorm", "norm"), 6)
@@ -308,7 +326,10 @@ def kmeans_assign(
     golden (fixtures_text.ensure_golden_kmeans) replays the identical
     arithmetic.
     """
-    base = _emb(spark, sf_dir).select("vec_id", "v")
+    # safe to spread BEFORE the assignment UDF: it is batch-shape-independent
+    # by construction (non-BLAS broadcast form, see make_assign_udf), and the
+    # update sums are integer-exact → order/placement cannot perturb anything
+    base = _spread(_emb(spark, sf_dir).select("vec_id", "v"))
     crows = (
         base.filter(F.col("vec_id") % KMEANS_K_MOD == 1).orderBy("vec_id").collect()
     )
