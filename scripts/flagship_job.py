@@ -80,7 +80,7 @@ def main() -> None:
     n_nodes = n_tags = 0
     if not args.skip_decode:
         t0 = time.time()
-        blocks = spark.read.parquet(fx["blocks"])
+        blocks = decode.widen_if_narrow(spark.read.parquet(fx["blocks"]))
         nodes, tags = decode.decode_entities(blocks)
         n_nodes = nodes.count()
         n_tags = tags.count()

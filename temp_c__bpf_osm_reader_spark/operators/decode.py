@@ -28,23 +28,50 @@ def zigzag_decode_col(z):
     return F.shiftright(z, 1).bitwiseXOR(-(z.bitwiseAND(F.lit(1))))
 
 
+def widen_if_narrow(blocks: DataFrame) -> DataFrame:
+    """The local blocks fixture is ONE parquet row group → one scan split, so
+    the explode-heavy decode stage (1000 nodes + ~4000 kv entries per block)
+    runs on a single core until the first shuffle (measured at sf1.0: the
+    decode_tags explode+resolve of 4.2M elements serialized on 1 of 32 cores).
+    Repartition to the session's parallelism ONLY when the scan is narrower —
+    a real many-file block store already scans wide, so at cluster scale this
+    is a no-op with zero shuffle. Every decode is per-block (windows partition
+    by block_id), so block placement cannot change any result."""
+    sc = blocks.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if blocks.rdd.getNumPartitions() < p:
+        return blocks.repartition(p)
+    return blocks
+
+
 def decode_nodes(blocks: DataFrame) -> DataFrame:
-    """blocks → (block_id, pos, id, image_id, lat, lon)."""
-    resolved = blocks.withColumn(
-        "img", F.transform(F.col("image_sid"), lambda s: F.element_at(F.col("strtab"), s + 1))
-    )
-    e = resolved.select(
+    """blocks → (block_id, pos, id, image_id, lat, lon).
+
+    Dictionary resolve happens AFTER the explode as a plain element_at —
+    higher-order `transform` is CodegenFallback (interpreted lambda per
+    element), while Generate+Project fuse in whole-stage codegen — and
+    BEFORE the window, so the 1000-string strtab never rides the window
+    shuffle (only the one resolved string per row does)."""
+    e = blocks.select(
         "block_id",
-        F.posexplode(F.arrays_zip("id_delta", "lat_dz", "lon_dz", "img")).alias("pos", "e"),
+        "strtab",
+        F.posexplode(F.arrays_zip("id_delta", "lat_dz", "lon_dz", "image_sid")).alias("pos", "e"),
+    ).select(
+        "block_id",
+        "pos",
+        F.col("e.id_delta").alias("id_delta"),
+        F.col("e.lat_dz").alias("lat_dz"),
+        F.col("e.lon_dz").alias("lon_dz"),
+        F.element_at(F.col("strtab"), F.col("e.image_sid") + 1).alias("img"),
     )
     w = Window.partitionBy("block_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
     return e.select(
         "block_id",
         "pos",
-        F.sum(F.col("e.id_delta")).over(w).alias("id"),
-        F.col("e.img").alias("image_id"),
-        (F.sum(zigzag_decode_col(F.col("e.lat_dz"))).over(w) / SCALE).alias("lat"),
-        (F.sum(zigzag_decode_col(F.col("e.lon_dz"))).over(w) / SCALE).alias("lon"),
+        F.sum(F.col("id_delta")).over(w).alias("id"),
+        F.col("img").alias("image_id"),
+        (F.sum(zigzag_decode_col(F.col("lat_dz"))).over(w) / SCALE).alias("lat"),
+        (F.sum(zigzag_decode_col(F.col("lon_dz"))).over(w) / SCALE).alias("lon"),
     )
 
 
@@ -55,9 +82,15 @@ def decode_tags(blocks: DataFrame) -> DataFrame:
     Sentinel index 0 resolves to the reserved "" string; the split is a running
     count of sentinels *before* each element (pure window arithmetic).
     """
-    resolved = blocks.withColumn(
-        "kv", F.transform(F.col("keys_vals"), lambda s: F.element_at(F.col("strtab"), s + 1))
-    ).select("block_id", F.posexplode("kv").alias("pos", "s"))
+    resolved = blocks.select(
+        "block_id", "strtab", F.posexplode("keys_vals").alias("pos", "sid")
+    ).select(
+        # post-explode element_at: codegen (HOF transform is interpreted) and
+        # drops strtab before any shuffle — see decode_nodes
+        "block_id",
+        "pos",
+        F.element_at(F.col("strtab"), F.col("sid") + 1).alias("s"),
+    )
     w_prev = Window.partitionBy("block_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1
     )
