@@ -31,10 +31,16 @@ KNN_K = 5
 
 
 def haversine_m_col(lat1, lon1, lat2, lon2):
-    """Haversine in meters, JVM-side (codegen'd trig, no Python)."""
+    """Haversine in meters, JVM-side (codegen'd trig, no Python).
+
+    Squares are self-multiplies, not POWER(x, 2.0): Math.pow costs ~50x a
+    multiply per candidate row, and the numpy golden twin squares by
+    multiplication too (np.square), so this is also the closer arithmetic
+    match. Codegen CSE evaluates each sin() once."""
     p1, p2 = F.radians(lat1), F.radians(lat2)
     dp, dl = p2 - p1, F.radians(lon2) - F.radians(lon1)
-    a = F.sin(dp / 2) ** 2 + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) ** 2
+    sdp, sdl = F.sin(dp / 2), F.sin(dl / 2)
+    a = sdp * sdp + F.cos(p1) * F.cos(p2) * sdl * sdl
     return 2.0 * EARTH_R_M * F.asin(F.sqrt(a))
 
 
