@@ -153,6 +153,23 @@ def simhash_pairs(
     ).select("doc_id", "sh", "band.band_id", "band.key")
     b1, b2 = bands.alias("b1"), bands.alias("b2")
     hamming = F.bit_count(F.col("b1.sh").bitwiseXOR(F.col("b2.sh")))
+
+    # Every qualifying pair (hamming ≤ 6 over 4 bands) collides in MOST
+    # bands, so deduplicating the band-join output shuffles ~bands× the
+    # result size (measured at sf1.0 stress: ~200M rows into dropDuplicates
+    # for a 56M-pair result). Instead keep each pair only in its FIRST equal
+    # band: both fingerprints are already on the joined row, so "no lower
+    # band b also matched" is a pure codegen filter — exactly one copy of
+    # every pair survives and the dedup shuffle disappears entirely.
+    def _slice(c, b):
+        return F.shiftright(c, b * 16).bitwiseAND(F.lit(65535))
+
+    first_band = F.lit(True)
+    for b in range(SIMHASH_BANDS):
+        first_band = first_band & (
+            (F.col("b1.band_id") <= F.lit(b))
+            | (_slice(F.col("b1.sh"), b) != _slice(F.col("b2.sh"), b))
+        )
     return (
         b1.join(
             b2,
@@ -160,18 +177,16 @@ def simhash_pairs(
             & (F.col("b1.key") == F.col("b2.key"))
             & (F.col("b1.doc_id") < F.col("b2.doc_id")),
         )
+        .filter(first_band)
         .select(
             F.col("b1.doc_id").alias("doc1"),
             F.col("b2.doc_id").alias("doc2"),
             hamming.cast("int").alias("hamming"),
         )
         # hamming is a pure function of the pair (same value on every band's
-        # copy), so filtering BEFORE the dedup is equivalent — and Catalyst
-        # cannot push a filter through the aggregate itself, so the manual
-        # order drops the random 16-bit band collisions (mostly far pairs)
-        # before they enter the dropDuplicates shuffle
+        # copy), so the order of these two filters is free; both run before
+        # any further shuffle
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc1", "doc2"])
     )
 
 
