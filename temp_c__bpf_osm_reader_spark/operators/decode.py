@@ -81,6 +81,18 @@ def decode_tags(blocks: DataFrame) -> DataFrame:
     ent is the entity ordinal within the block (join key to decode_nodes.pos).
     Sentinel index 0 resolves to the reserved "" string; the split is a running
     count of sentinels *before* each element (pure window arithmetic).
+
+    Single-pass plan: sum (entity ordinal), max (position of the opening
+    sentinel) and lead (the next element = this key's value) all share ONE
+    window spec (block_id, order by pos), so the whole split is one shuffle +
+    one sort + one Window operator. Within an entity the stream alternates
+    k,v,k,v, so an element is a key iff its offset from the opening sentinel
+    is odd, and its value is simply the next element in the stream (nullified
+    when the entity ends early on a sentinel/block boundary — the "dangling
+    key" case the reference tolerates). This replaces the previous
+    three-pass plan (sentinel window → per-entity row_number window →
+    groupBy pivot): same one shuffle, but two fewer sorts/aggregates over
+    the exploded stream.
     """
     resolved = blocks.select(
         "block_id", "strtab", F.posexplode("keys_vals").alias("pos", "sid")
@@ -94,21 +106,23 @@ def decode_tags(blocks: DataFrame) -> DataFrame:
     w_prev = Window.partitionBy("block_id").orderBy("pos").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    ent = F.coalesce(
-        F.sum(F.when(F.col("s") == "", 1).otherwise(0)).over(w_prev), F.lit(0)
+    w_next = Window.partitionBy("block_id").orderBy("pos")
+    is_sent = F.col("s") == ""
+    annotated = resolved.select(
+        "block_id",
+        "pos",
+        "s",
+        F.coalesce(F.sum(F.when(is_sent, 1).otherwise(0)).over(w_prev), F.lit(0)).alias("ent"),
+        # pos of the sentinel that opened this entity (-1 for the first)
+        F.coalesce(F.max(F.when(is_sent, F.col("pos"))).over(w_prev), F.lit(-1)).alias("sent_pos"),
+        F.lead("s", 1).over(w_next).alias("nxt"),
     )
-    elems = resolved.withColumn("ent", ent).filter(F.col("s") != "")
-    w_ent = Window.partitionBy("block_id", "ent").orderBy("pos")
-    paired = elems.withColumn("rn", F.row_number().over(w_ent)).withColumn(
-        "pair", ((F.col("rn") - 1) / 2).cast("bigint")
-    )
-    return (
-        paired.groupBy("block_id", "ent", "pair")
-        .agg(
-            F.max(F.when(F.col("rn") % 2 == 1, F.col("s"))).alias("k"),
-            F.max(F.when(F.col("rn") % 2 == 0, F.col("s"))).alias("v"),
-        )
-        .drop("pair")
+    keys = annotated.filter(~is_sent & (((F.col("pos") - F.col("sent_pos")) % 2) == 1))
+    return keys.select(
+        "block_id",
+        "ent",
+        F.col("s").alias("k"),
+        F.nullif(F.col("nxt"), F.lit("")).alias("v"),
     )
 
 
