@@ -250,3 +250,37 @@ def test_geolocate_expr_bitidentical_to_kernel(spark, fx):
     assert np.array_equal(
         a["lon"].to_numpy().view(np.int64), b["lon"].to_numpy().view(np.int64)
     )
+
+
+def test_decode_tags_sentinel_edges(spark):
+    """Hand-built keys_vals streams pinning the 0-delimiter contract
+    (osmformat.proto:207-229 dense_nodes keys_vals) on the edges the golden
+    corpus never exercises: empty entities (consecutive sentinels), a
+    dangling key closed by a sentinel mid-block, a dangling key at block end
+    (no trailing sentinel), and a leading sentinel (empty first entity)."""
+    from temp_c__bpf_osm_reader_spark.operators.decode import decode_tags
+
+    strtab = ["", "k1", "v1", "k2", "v2", "k3"]
+    rows = [
+        # block 0: [k1 v1 | k2 v2 k3 | <empty> | k1 v2] — entity 1 has a
+        # dangling key k3 (odd count, closed by sentinel), entity 2 is empty
+        (0, strtab, [1, 2, 0, 3, 4, 5, 0, 0, 1, 4]),
+        # block 1: [<empty leading> | k2 v1 | k3-dangling-at-block-end]
+        (1, strtab, [0, 3, 2, 0, 5]),
+        # block 2: only sentinels — no tags at all
+        (2, strtab, [0, 0]),
+    ]
+    df = spark.createDataFrame(rows, "block_id long, strtab array<string>, keys_vals array<int>")
+    got = sorted(
+        decode_tags(df).collect(),
+        key=lambda r: (r.block_id, r.ent, r.k, r.v or ""),
+    )
+    exp = [
+        (0, 0, "k1", "v1"),
+        (0, 1, "k2", "v2"),
+        (0, 1, "k3", None),
+        (0, 3, "k1", "v2"),
+        (1, 1, "k2", "v1"),
+        (1, 2, "k3", None),
+    ]
+    assert [(r.block_id, r.ent, r.k, r.v) for r in got] == exp
