@@ -527,7 +527,7 @@ def golden_recall_ivf_path(
     k: int = 10,
     query_mod: int = 20,
     centroid_mod: int = 50,
-    nprobe: int = 3,
+    nprobe: int = 6,  # lockstep with similarity.IVF_NPROBE (import cycle)
 ) -> str:
     """Cache filename keyed by every content-changing parameter (same
     discipline as golden_recall_srp_path)."""
@@ -543,7 +543,7 @@ def ensure_golden_recall_ivf(
     k: int = 10,
     query_mod: int = 20,
     centroid_mod: int = 50,
-    nprobe: int = 3,
+    nprobe: int = 6,  # lockstep with similarity.IVF_NPROBE (import cycle)
 ) -> str:
     """(query_id, recall) — independent replay of BOTH sides of the IVF
     recall evaluation (operators/similarity.ann_recall_ivf): exact cosine
