@@ -284,3 +284,46 @@ def test_decode_tags_sentinel_edges(spark):
         (1, 2, "k3", None),
     ]
     assert [(r.block_id, r.ent, r.k, r.v) for r in got] == exp
+
+
+def test_raster_topology_wrap_clamp_and_pyramid_mass(spark):
+    """Hand-built points pinning the raster operators' grid topology:
+    focal_sum wraps longitude (col 0's west neighbor is col nx-1), clamps
+    latitude (the pole row has no neighbor beyond it), and pyramid conserves
+    mass (every level sums to the input count) with exact 2x2 parentage."""
+    from temp_c__bpf_osm_reader_spark.functions import geo
+    from temp_c__bpf_osm_reader_spark.operators import raster
+
+    res = 3  # tiny grid: ny=8, nx=16
+    ny, nx = geo.grid_dims(res)
+
+    def cell(i, j):
+        return int((res << geo.RES_SHIFT) | (i << geo.I_SHIFT) | j)
+
+    # two points in (0,0) [south pole row, west seam], one in (0, nx-1)
+    # [its wrap neighbor], one isolated at (4, 8)
+    rows = [(cell(0, 0),), (cell(0, 0),), (cell(0, nx - 1),), (cell(4, 8),)]
+    df = spark.createDataFrame(rows, "cell_r long")
+
+    focal = {
+        (r.row_i, r.col_j): (r.n_images, r.focal_n)
+        for r in raster.focal_sum(df, "cell_r", res=res).collect()
+    }
+    # (0,0): itself 2 + wrap-west (0,15) 1 = 3; row -1 clamped away
+    assert focal[(0, 0)] == (2, 3)
+    # (0,15): itself 1 + wrap-east (0,0) 2 = 3
+    assert focal[(0, nx - 1)] == (1, 3)
+    # isolated pixel: focal sum is just itself
+    assert focal[(4, 8)] == (1, 1)
+
+    pyr = raster.pyramid(df, "cell_r", base_res=res, min_res=0).collect()
+    by_res = {}
+    for r in pyr:
+        by_res.setdefault(r.res, {})[(r.row_i, r.col_j)] = r.n_images
+    assert sorted(by_res) == [0, 1, 2, 3]
+    for lvl in by_res.values():
+        assert sum(lvl.values()) == 4  # mass conserved at every level
+    # 2x2 parentage: (0,0)+(0,15) at res 3 roll to (0,0)+(0,7) at res 2
+    assert by_res[2] == {(0, 0): 2, (0, 7): 1, (2, 4): 1}
+    # res 0 is ny=1, nx=2: j<8 rolls west (0,0), j>=8 east (0,1)
+    assert by_res[0] == {(0, 0): 2, (0, 1): 2}
