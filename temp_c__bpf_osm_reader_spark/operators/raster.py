@@ -6,19 +6,20 @@ table) and raster_density (vector→raster: rasterize the point layer onto
 the res-8 pixel grid).  This module adds the two classic raster analytics
 that sit on top of a rasterized layer:
 
-  * pyramid()   — multi-resolution rollup (map-tile pyramid): level r-1 is
-    aggregated from level r's ALREADY-AGGREGATED raster, never from the raw
-    points, so the extra cost beyond the base rasterization is a geometric
-    series over occupied-pixel counts (≤ 4× shrink per level).  At 10^12
-    input rows only the base groupBy touches the full table — and it is
-    map-side combinable (count), so the shuffle carries one partial row per
-    (pixel × task).
+  * pyramid()   — multi-resolution rollup (map-tile pyramid): each base
+    pixel is exploded to its ONE ancestor pixel per level (exact
+    power-of-two hierarchy, i >> d), then a single groupBy sums every level
+    at once.  At 10^12 input rows only the base groupBy touches the full
+    table — map-side combinable (count), one partial row per (pixel ×
+    task) — and the pyramid itself is one raster-bounded shuffle
+    (n_levels × occupied pixels).
   * focal_sum() — 3×3 neighborhood (focal/convolution) statistic: each
     occupied pixel's count plus its 8 neighbors'.  Runs entirely on the
     aggregated raster (bounded by the grid, 2^res × 2^(res+1) pixels), via
-    a 9-way offset explode + one pixel-keyed shuffle; longitude wraps
-    (mod nx), latitude clamps (rows outside [0, ny) are dropped), matching
-    the cylinder topology of geo.grid_cell (functions/geo.py:119-137).
+    a 9-way offset explode (center tagged) + one pixel-keyed shuffle;
+    longitude wraps (mod nx), latitude clamps (rows outside [0, ny) are
+    dropped), matching the cylinder topology of geo.grid_cell
+    (functions/geo.py:119-137).
 
 Cell ids are the packed (res << 54) | (i << 27) | j layout from
 functions/geo.py; pixel extraction is pure JVM bit ops (shiftright / AND),
@@ -59,22 +60,31 @@ def pyramid(points: DataFrame, cell_col: str, base_res: int, min_res: int) -> Da
     """
     if not base_res > min_res >= 0:
         raise ValueError(f"need base_res > min_res >= 0, got {base_res}, {min_res}")
+    # Single-shuffle plan.  A per-level union would make each level an
+    # INDEPENDENT plan subtree — Spark's exchange reuse does not fire across
+    # union branches (measured: 0 ReusedExchange, the raw-points scan re-ran
+    # once per level), and .cache()-ing the base raster was measured ~2x
+    # SLOWER end-to-end at sf1.0 (InMemoryRelation fill + scan overhead and
+    # the loss of AQE coalescing inside the cached plan outweigh the cheap
+    # rescan).  Instead, exploit that the grid hierarchy is exact
+    # power-of-two (geo.cell_parent: i >> d): every base pixel has exactly
+    # one ancestor per level, so exploding each base-raster row to its
+    # (res, i >> d, j >> d) ancestors and running ONE groupBy computes the
+    # whole pyramid — one pass over the raw points, one raster-bounded
+    # shuffle (n_levels x occupied-pixel rows, map-side combinable), no
+    # repeated scan and no cache at any scale.
     base = density(points, cell_col)
-    levels = [base.withColumn("res", F.lit(base_res))]
-    cur = base
-    for r in range(base_res - 1, min_res - 1, -1):
-        cur = (
-            cur.groupBy(
-                F.shiftright("row_i", 1).alias("row_i"),
-                F.shiftright("col_j", 1).alias("col_j"),
-            )
-            .agg(F.sum("n_images").alias("n_images"))
+    depths = F.array(*[F.lit(d) for d in range(base_res - min_res + 1)])
+    return (
+        base.select(F.explode(depths).alias("d"), "row_i", "col_j", "n_images")
+        .groupBy(
+            (F.lit(base_res) - F.col("d")).alias("res"),
+            F.expr("shiftright(row_i, d)").alias("row_i"),
+            F.expr("shiftright(col_j, d)").alias("col_j"),
         )
-        levels.append(cur.withColumn("res", F.lit(r)))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.select("res", "row_i", "col_j", "n_images")
+        .agg(F.sum("n_images").alias("n_images"))
+        .select("res", "row_i", "col_j", "n_images")
+    )
 
 
 def focal_sum(points: DataFrame, cell_col: str, res: int) -> DataFrame:
@@ -85,10 +95,16 @@ def focal_sum(points: DataFrame, cell_col: str, res: int) -> DataFrame:
     (longitude is periodic); row_i clamps (no pixels beyond the poles).
 
     Plan: rasterize (the only full-table pass), explode each raster row to
-    its 9 (target-pixel, weight) contributions, one groupBy shuffle on the
-    target pixel, then an inner join back to the base raster — both sides
-    are aggregated rasters bounded by the occupied-pixel count, and the
-    inner join doubles as the "center must be occupied" filter.
+    its 9 (target-pixel, contribution) rows with the (0,0) offset tagged as
+    the center, then ONE groupBy shuffle on the target pixel computes both
+    focal_n (sum of all contributions) and the center's own count; keeping
+    only groups that saw a center contribution IS the "center must be
+    occupied" filter.  A join back to the base raster would re-run the
+    full-table rasterization for the probe side (no cross-subtree exchange
+    reuse; .cache() measured slower at sf1.0 — see pyramid()); the center
+    tag folds the join into the aggregate, so the whole statistic is one
+    pass + one raster-bounded shuffle.  The center contribution is
+    unambiguous under wrap/clamp: offset (0,0) maps a pixel to itself only.
     """
     ny, nx = 1 << res, 1 << (res + 1)
     base = density(points, cell_col)
@@ -99,21 +115,25 @@ def focal_sum(points: DataFrame, cell_col: str, res: int) -> DataFrame:
             for dj in (-1, 0, 1)
         ]
     )
-    contrib = (
+    return (
         base.select("row_i", "col_j", "n_images", F.explode(offsets).alias("o"))
         .select(
             (F.col("row_i") + F.col("o.di")).alias("ci"),
             F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx)).alias("cj"),
             "n_images",
+            ((F.col("o.di") == 0) & (F.col("o.dj") == 0)).alias("is_center"),
         )
         .where((F.col("ci") >= 0) & (F.col("ci") < ny))
         .groupBy("ci", "cj")
-        .agg(F.sum("n_images").alias("focal_n"))
-    )
-    return (
-        base.join(
-            contrib,
-            (base["row_i"] == contrib["ci"]) & (base["col_j"] == contrib["cj"]),
+        .agg(
+            F.sum("n_images").alias("focal_n"),
+            F.max(F.when(F.col("is_center"), F.col("n_images"))).alias("center_n"),
         )
-        .select("row_i", "col_j", "n_images", "focal_n")
+        .where(F.col("center_n").isNotNull())
+        .select(
+            F.col("ci").alias("row_i"),
+            F.col("cj").alias("col_j"),
+            F.col("center_n").alias("n_images"),
+            "focal_n",
+        )
     )
