@@ -192,6 +192,15 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     spark = get_spark(app=f"stress-{BASE}")
+    # Warm the JVM / codegen / shuffle machinery before the timed loop so the
+    # first query's row doesn't absorb ~5-10 s of one-time session cost —
+    # without this, partial reruns (ONLY set) record inflated, incomparable
+    # walls for whichever query happens to run first.
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(1_000_000).groupBy((F.col("id") % 97).alias("k")).count().count()
+    print(f"[stress] session warmed in {time.time() - t0:.1f}s", flush=True)
     qs, oracles = api.queries(), api.oracle_sql()
     names = [n for n in qs if not ONLY or n in ONLY]
     out_path = os.path.join(REPO, f"STRESS_{BASE}.json")
