@@ -250,3 +250,79 @@ def pip_join(
         candidates.filter(contains(F.col("lat"), F.col("lon"), F.col("polygon_id")))
         .select("image_id", "polygon_id")
     )
+
+
+def box_self_join(points: DataFrame, cell_col: str, eps_deg: float, res: int) -> DataFrame:
+    """Distance-bounded spatial SELF-join: every unordered pair of points
+    within an eps_deg lat/lon box of each other (longitude wraps at the
+    antimeridian), as (img1, img2) with img1 < img2.
+
+    The third classic spatial-join form next to pip_join (point-vs-polygon)
+    and knn (query-vs-corpus): an all-pairs "DWITHIN" over ONE table — the
+    shape image-dedup-by-location or co-location mining needs.  A naive
+    formulation is a cartesian product; the scale plan is grid blocking:
+
+      * eps_deg ≤ one res-cell side ⇒ any qualifying partner sits in the
+        3×3 cell neighborhood, so blocking on neighbor cells is COMPLETE
+        (pytest-pinned against a brute-force cross join);
+      * only the LEFT side explodes to its 9 neighbor cells (the right side
+        keeps its own cell), so every unordered pair is produced exactly
+        once per orientation and the img1 < img2 filter keeps exactly one —
+        no distinct() pass, no double counting;
+      * the join key is the (i << 27 | j) pixel fold — ONE dense long, the
+        LongHashedRelation fast path, instead of a two-column key;
+      * at 10^12 rows both sides hash-partition by that long; per-cell
+        candidate lists are bounded by cell density, and hot cells fall to
+        AQE skew-join (operators/skew.py salting is the manual fallback).
+
+    The predicate runs on the same doubles both engines derive from the
+    stored coordinates, so the ≤ comparisons are deterministic bit-for-bit.
+    """
+    ny, nx = geo.grid_dims(res)
+    if res < 1:
+        raise ValueError("res must be >= 1 so the 3 lon offsets stay distinct mod nx")
+    if not (eps_deg <= 180.0 / ny and eps_deg <= 360.0 / nx):
+        raise ValueError(
+            f"eps_deg {eps_deg} exceeds a res-{res} cell side; 3x3 blocking incomplete"
+        )
+    mask = (1 << 27) - 1
+    base = points.select(
+        "image_id",
+        "lat",
+        "lon",
+        F.shiftright(cell_col, 27).bitwiseAND(F.lit(mask)).alias("row_i"),
+        F.col(cell_col).bitwiseAND(F.lit(mask)).alias("col_j"),
+    )
+    right = base.select(
+        F.col("image_id").alias("img2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        F.shiftleft(F.col("row_i"), 27).bitwiseOR(F.col("col_j")).alias("pk"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di in (-1, 0, 1)
+            for dj in (-1, 0, 1)
+        ]
+    )
+    left = (
+        base.select("image_id", "lat", "lon", "row_i", "col_j", F.explode(offsets).alias("o"))
+        .select(
+            F.col("image_id").alias("img1"),
+            F.col("lat").alias("lat1"),
+            F.col("lon").alias("lon1"),
+            (F.col("row_i") + F.col("o.di")).alias("pi"),
+            F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx)).alias("pj"),
+        )
+        .where((F.col("pi") >= 0) & (F.col("pi") < ny))
+        .select("img1", "lat1", "lon1", F.shiftleft(F.col("pi"), 27).bitwiseOR(F.col("pj")).alias("pk"))
+    )
+    dlon = F.abs(F.col("lon1") - F.col("lon2"))
+    return (
+        left.join(right, "pk")
+        .where(F.col("img1") < F.col("img2"))
+        .where(F.abs(F.col("lat1") - F.col("lat2")) <= F.lit(eps_deg))
+        .where(F.least(dlon, F.lit(360.0) - dlon) <= F.lit(eps_deg))
+        .select("img1", "img2")
+    )

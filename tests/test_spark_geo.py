@@ -327,3 +327,48 @@ def test_raster_topology_wrap_clamp_and_pyramid_mass(spark):
     assert by_res[2] == {(0, 0): 2, (0, 7): 1, (2, 4): 1}
     # res 0 is ny=1, nx=2: j<8 rolls west (0,0), j>=8 east (0,1)
     assert by_res[0] == {(0, 0): 2, (0, 1): 2}
+
+
+def test_box_self_join_matches_bruteforce(spark):
+    """3x3 neighbor-cell blocking completeness: box_self_join over 400
+    hash-scattered points (including antimeridian and near-pole clusters)
+    must equal the O(n^2) numpy brute force of the same box predicate."""
+    import numpy as np
+
+    from temp_c__bpf_osm_reader_spark.functions import geo
+    from temp_c__bpf_osm_reader_spark.operators import spatial_join
+
+    n, res, eps = 400, 8, 0.25
+    rng = np.random.default_rng(20260819)
+    lat = rng.uniform(-89.9, 89.9, n)
+    lon = rng.uniform(-180.0, 180.0, n)
+    # force wrap + clamp coverage: a cluster straddling the antimeridian
+    # and one hugging the pole row
+    lat[:8] = rng.uniform(10.0, 10.2, 8)
+    lon[:8] = np.where(rng.random(8) < 0.5, -179.95, 179.95)
+    lat[8:14] = rng.uniform(89.5, 89.9, 6)
+    lon[8:14] = rng.uniform(-0.3, 0.3, 6)
+    cells = geo.grid_cell(lat, lon, res)
+    rows = [
+        (f"img{i:04d}", float(lat[i]), float(lon[i]), int(cells[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "image_id string, lat double, lon double, cell_r8 long")
+
+    got = {
+        (r.img1, r.img2)
+        for r in spatial_join.box_self_join(df, "cell_r8", eps_deg=eps, res=res).collect()
+    }
+
+    dlat = np.abs(lat[:, None] - lat[None, :])
+    dl = np.abs(lon[:, None] - lon[None, :])
+    dlon = np.minimum(dl, 360.0 - dl)
+    hit = (dlat <= eps) & (dlon <= eps)
+    want = {
+        (f"img{i:04d}", f"img{j:04d}")
+        for i in range(n)
+        for j in range(i + 1, n)
+        if hit[i, j]
+    }
+    assert want, "fixture produced no qualifying pairs — test is vacuous"
+    assert got == want
