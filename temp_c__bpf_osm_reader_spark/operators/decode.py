@@ -179,3 +179,57 @@ def decode_metrics(blocks: DataFrame) -> DataFrame:
             F.array_max("keys_vals").cast("bigint"),
         ).alias("max_sid"),
     ).orderBy("block_id")
+
+
+def way_geometry(way_blocks: DataFrame, blocks: DataFrame) -> DataFrame:
+    """→ (way_id, n_nodes, path_l1_e7, min/max lat/lon _e7) — per-way
+    polyline geometry: what a pbf2sqlite consumer derives by joining
+    nod_way(way_id, nod_id, order_) back to nod(id, lat, lon)
+    (pbf2sqlite.c:755-770 + 460-468) and walking each way in ref order.
+
+    All arithmetic stays in fixed-point e7 BIGINTs (the wire's own unit,
+    readosm.c:1206-1211) — no /1e7 round trip — so every output column is an
+    exact integer and the value hash is parallelism-independent. Path length
+    is the per-segment L1 sum with longitude wrapping at the antimeridian
+    (360e7); bbox is plain min/max.
+
+    Plan: refs decode (window per way, bounded ≤2000 refs by the reference's
+    block convention) → equi-join to the node table on nod_id (the one big
+    shuffle; both sides hash-partition, AQE handles hot nodes) → lead() over
+    (way_id, order_) pairs consecutive nodes → map-side-combinable groupBy.
+    """
+    refs = decode_way_refs(way_blocks)
+    # integer-coordinate node decode: decode_nodes' cumsum windows WITHOUT
+    # the fixed-point division, so coords stay exact BIGINTs
+    e = blocks.select(
+        "block_id",
+        F.posexplode(F.arrays_zip("id_delta", "lat_dz", "lon_dz")).alias("pos", "e"),
+    )
+    w = Window.partitionBy("block_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nodes = e.select(
+        F.sum(F.col("e.id_delta")).over(w).alias("nod_id"),
+        F.sum(zigzag_decode_col(F.col("e.lat_dz"))).over(w).alias("lat_e7"),
+        F.sum(zigzag_decode_col(F.col("e.lon_dz"))).over(w).alias("lon_e7"),
+    )
+    pts = refs.join(nodes, "nod_id")
+    ww = Window.partitionBy("way_id").orderBy("order_")
+    seg = pts.select(
+        "way_id",
+        "lat_e7",
+        "lon_e7",
+        F.lead("lat_e7").over(ww).alias("nlat"),
+        F.lead("lon_e7").over(ww).alias("nlon"),
+    )
+    dlat = F.abs(F.col("nlat") - F.col("lat_e7"))
+    dl = F.abs(F.col("nlon") - F.col("lon_e7"))
+    dlon = F.least(dl, F.lit(3_600_000_000) - dl)
+    return seg.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum(dlat + dlon), F.lit(0)).alias("path_l1_e7"),
+        F.min("lat_e7").alias("min_lat_e7"),
+        F.max("lat_e7").alias("max_lat_e7"),
+        F.min("lon_e7").alias("min_lon_e7"),
+        F.max("lon_e7").alias("max_lon_e7"),
+    )
