@@ -247,3 +247,87 @@ def dedup_clusters(
             "(rounds needed grow with the candidate-graph diameter)"
         )
     return labels
+
+
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 3
+
+
+def phash_near_dup(images: DataFrame, max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """→ (image_id, phash, dup_count, near_image_count, near_hash_count) —
+    per-image duplicate profile over the 64-bit perceptual hash: dup_count =
+    other images with the IDENTICAL phash; near_* = images / distinct hashes
+    at Hamming distance 1..max_hamming.
+
+    EXACT banded Hamming (not LSH-approximate): with 4×16-bit bands and
+    max_hamming ≤ 3, pigeonhole guarantees every qualifying hash pair shares
+    ≥1 intact band — recall is exactly 1.0, so the brute-force DuckDB oracle
+    matches bit-for-bit (unlike simhash_pairs' documented recall trade).
+
+    Scale design: the image corpus has Zipfian duplicate clusters (hottest
+    pattern ≈ 12% of rows), so a PAIR output is quadratic in cluster size —
+    measured 1.76M pairs at sf0.01, ~17B extrapolated at sf1.0. All pairwise
+    work therefore happens on the DEDUPLICATED HASH DOMAIN: groupBy(phash)
+    first (one map-side-combinable shuffle → D ≪ n rows), band-self-join the
+    D-row hash table, then broadcast the per-hash profile back onto the image
+    scan. Output is linear in n and the big table is never shuffled — the
+    plan is scan → broadcast-hash-join at any corpus size.
+    """
+    if max_hamming >= PHASH_BANDS:  # pigeonhole needs flips < bands
+        raise ValueError("max_hamming must stay < PHASH_BANDS for exact recall")
+    # D-row hash domain, materialized once: ph feeds three plan branches
+    # (both band-join sides + the count join); without the checkpoint each
+    # branch re-scans the FULL image table — 3 extra 100-TB scans for a
+    # table that fits on the driver. Eager but tiny (D ≪ n).
+    ph = images.groupBy("phash").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+
+    bands = ph.select(
+        "phash",
+        "c",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), "
+                f"b -> struct(b as band_id, (shiftright(phash, b * 16) & 65535) as key))"
+            )
+        ).alias("band"),
+    ).select("phash", "c", "band.band_id", "band.key")
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+
+    def _slice(c, b):
+        return F.shiftright(c, b * 16).bitwiseAND(F.lit(65535))
+
+    # keep each DIRECTED hash pair only in its first equal band (pure codegen
+    # filter — no dedup shuffle; same trick as simhash_pairs)
+    first_band = F.lit(True)
+    for b in range(PHASH_BANDS):
+        first_band = first_band & (
+            (F.col("b1.band_id") <= F.lit(b))
+            | (_slice(F.col("b1.phash"), b) != _slice(F.col("b2.phash"), b))
+        )
+    hamming = F.bit_count(F.col("b1.phash").bitwiseXOR(F.col("b2.phash")))
+    nb = (
+        b1.join(
+            b2,
+            (F.col("b1.band_id") == F.col("b2.band_id"))
+            & (F.col("b1.key") == F.col("b2.key"))
+            & (F.col("b1.phash") != F.col("b2.phash")),
+        )
+        .filter(first_band & (hamming <= max_hamming))
+        .groupBy(F.col("b1.phash").alias("phash"))
+        .agg(
+            F.sum(F.col("b2.c")).cast("int").alias("near_image_count"),
+            F.count(F.lit(1)).cast("int").alias("near_hash_count"),
+        )
+    )
+    return (
+        images.select("image_id", "phash")
+        .join(F.broadcast(ph), "phash")
+        .join(F.broadcast(nb), "phash", "left")
+        .select(
+            "image_id",
+            "phash",
+            (F.col("c") - 1).cast("int").alias("dup_count"),
+            F.coalesce("near_image_count", F.lit(0)).alias("near_image_count"),
+            F.coalesce("near_hash_count", F.lit(0)).alias("near_hash_count"),
+        )
+    )
