@@ -223,6 +223,76 @@ def ensure_golden_pip(n: int, m: int) -> str:
     return p
 
 
+def golden_regions_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"golden_regions_{n}_{GEO_TAG}.parquet")
+
+
+def ensure_golden_regions(n: int, res: int = 8) -> str:
+    """4-connected raster regions — sequential union-find, the independent
+    twin of operators/raster.polygonize (which labels by distributed
+    min-label propagation + pointer jumping).  Adjacency: col wraps mod nx,
+    rows clamp; region_id = min packed (i<<27)|j key of the component;
+    j-bbox is plain min/max (NOT wrap-corrected — same spec both sides)."""
+    p = golden_regions_path(n)
+    if not os.path.exists(p):
+        gg = pd.read_parquet(ensure_golden_geo(n))
+        cells = gg[f"cell_r{res}"].to_numpy()
+        mask = (1 << 27) - 1
+        i = (cells >> 27) & mask
+        j = cells & mask
+        ny, nx = 1 << res, 1 << (res + 1)
+        keys, counts = np.unique((i.astype(np.int64) << 27) | j, return_counts=True)
+        occupied = set(int(k) for k in keys)
+        parent = {k: k for k in occupied}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a: int, b: int) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for k in keys:
+            k = int(k)
+            ki, kj = k >> 27, k & mask
+            right = (ki << 27) | ((kj + 1) % nx)
+            if right in occupied and right != k:
+                union(k, right)
+            if ki + 1 < ny:
+                down = ((ki + 1) << 27) | kj
+                if down in occupied:
+                    union(k, down)
+        lab = np.array([find(int(k)) for k in keys], dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "region_id": lab,
+                "n_cells": np.ones(keys.size, dtype=np.int64),
+                "n_images": counts.astype(np.int64),
+                "i": (keys >> 27).astype(np.int64),
+                "j": (keys & mask).astype(np.int64),
+            }
+        )
+        out = (
+            df.groupby("region_id", sort=True)
+            .agg(
+                n_cells=("n_cells", "sum"),
+                n_images=("n_images", "sum"),
+                min_i=("i", "min"),
+                max_i=("i", "max"),
+                min_j=("j", "min"),
+                max_j=("j", "max"),
+            )
+            .reset_index()
+            .astype("int64")
+        )
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p
+
+
 def golden_knn_path(n: int) -> str:
     return os.path.join(DATA_DIR, f"golden_knn_{n}_{GEO_TAG}.parquet")
 

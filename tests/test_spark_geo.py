@@ -372,3 +372,45 @@ def test_box_self_join_matches_bruteforce(spark):
     }
     assert want, "fixture produced no qualifying pairs — test is vacuous"
     assert got == want
+
+
+def test_polygonize_wrap_snake_and_region_stats(spark):
+    """Hand-built rasters pinning polygonize's component semantics:
+    a region crossing the antimeridian seam is ONE region (col wrap), rows
+    do not wrap across the pole, and a full-row ring (a cycle through the
+    wrap) labels as a single region.  The long snake exercises pointer
+    jumping: its diameter (ny + nx) far exceeds the round count a pure
+    propagation of max_iter=30 could close without the jump."""
+    from temp_c__bpf_osm_reader_spark.functions import geo
+    from temp_c__bpf_osm_reader_spark.operators import raster
+
+    res = 3  # ny=8, nx=16
+    ny, nx = geo.grid_dims(res)
+
+    def cell(i, j):
+        return int((res << geo.RES_SHIFT) | (i << geo.I_SHIFT) | j)
+
+    def key(i, j):
+        return (i << 27) | j
+
+    # seam region: (2, nx-1) and (2, 0) touch only through the wrap;
+    # pole pair: (0, 5) and (ny-1, 5) must NOT merge (no row wrap);
+    # snake: row 4 entire + col 10 rising from row 4 to ny-1 (diameter ~nx+ny)
+    pts = [cell(2, nx - 1), cell(2, 0), cell(0, 5), cell(ny - 1, 5)]
+    pts += [cell(4, j) for j in range(nx)]
+    pts += [cell(i, 10) for i in range(5, ny)]
+    # weight: two images in the seam's west pixel
+    pts.append(cell(2, 0))
+    df = spark.createDataFrame([(p,) for p in pts], "cell_r long")
+
+    out = {r.region_id: r for r in raster.polygonize(df, "cell_r", res=res).collect()}
+    # four regions: seam, pole-north, pole-south, snake
+    assert len(out) == 4
+    seam = out[key(2, 0)]
+    assert (seam.n_cells, seam.n_images) == (2, 3)
+    assert (seam.min_j, seam.max_j) == (0, nx - 1)  # plain min/max, no wrap fix
+    assert out[key(0, 5)].n_cells == 1
+    assert out[key(ny - 1, 5)].n_cells == 1
+    snake = out[key(4, 0)]
+    assert snake.n_cells == nx + (ny - 1 - 4)
+    assert (snake.min_i, snake.max_i, snake.min_j, snake.max_j) == (4, ny - 1, 0, nx - 1)
