@@ -151,6 +151,67 @@ def decode_way_refs(way_blocks: DataFrame) -> DataFrame:
     )
 
 
+def way_simplify(
+    way_blocks: DataFrame, blocks: DataFrame, snap_e7: int = 1 << 14
+) -> DataFrame:
+    """→ (way_id, seq, nod_id, lat_e7, lon_e7) — grid-snap polyline
+    simplification: the vertex-decimation step a vector-tile pipeline runs
+    before emitting a way at a given zoom (tippecanoe's droppable-point
+    collapse class).  A vertex survives iff it is the way's FIRST vertex or
+    its snap-grid cell (floor(coord_e7 / snap_e7) on both axes) differs
+    from the PREVIOUS vertex's cell — consecutive same-cell runs collapse
+    to their first vertex, and seq renumbers the survivors densely.
+
+    snap_e7 = 2^14 e7-units ≈ 0.0016° ≈ 180 m at the equator — a ~z13 tile
+    pixel.  The snap is pure integer-exact arithmetic (dividing an e7 coord
+    by a power of two is exact in doubles, |coord| ≤ 1.8e9 < 2^53), so the
+    kept set is bit-identical across engines and parallelism.
+
+    Plan: refs delta-decode (way-bounded windows) → one equi-join to the
+    node stream on nod_id → lag + row_number over the SAME (way_id, order_)
+    window spec, so the filter and the renumber share one way-keyed
+    shuffle.  Per-way state is bounded by the reference's ≤2000 refs/way
+    convention — embarrassingly parallel at any table size."""
+    refs = decode_way_refs(way_blocks)
+    e = blocks.select(
+        "block_id",
+        F.posexplode(F.arrays_zip("id_delta", "lat_dz", "lon_dz")).alias("pos", "e"),
+    )
+    w = Window.partitionBy("block_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nodes = e.select(
+        F.sum(F.col("e.id_delta")).over(w).alias("nod_id"),
+        F.sum(zigzag_decode_col(F.col("e.lat_dz"))).over(w).alias("lat_e7"),
+        F.sum(zigzag_decode_col(F.col("e.lon_dz"))).over(w).alias("lon_e7"),
+    )
+    ww = Window.partitionBy("way_id").orderBy("order_")
+    si = F.floor(F.col("lat_e7") / F.lit(float(snap_e7)))
+    sj = F.floor(F.col("lon_e7") / F.lit(float(snap_e7)))
+    snapped = refs.join(nodes, "nod_id").select(
+        "way_id",
+        "order_",
+        "nod_id",
+        "lat_e7",
+        "lon_e7",
+        (
+            (F.lag(si).over(ww).isNull())
+            | (si != F.lag(si).over(ww))
+            | (sj != F.lag(sj).over(ww))
+        ).alias("keep"),
+    )
+    return (
+        snapped.where("keep")
+        .select(
+            "way_id",
+            (F.row_number().over(ww) - 1).cast("int").alias("seq"),
+            "nod_id",
+            "lat_e7",
+            "lon_e7",
+        )
+    )
+
+
 def decode_entities(blocks: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (nodes, tags) where tags carry the resolved image_id (EAV table —
     the analogue of pbf2sqlite's `tag(nod_id, k, v)`, pbf2sqlite.c:460-468)."""

@@ -414,3 +414,55 @@ def test_polygonize_wrap_snake_and_region_stats(spark):
     snake = out[key(4, 0)]
     assert snake.n_cells == nx + (ny - 1 - 4)
     assert (snake.min_i, snake.max_i, snake.min_j, snake.max_j) == (4, ny - 1, 0, nx - 1)
+
+
+def test_way_simplify_collapse_semantics(spark):
+    """Hand-built way + node blocks pinning way_simplify's decimation rule:
+    first vertex always kept; a vertex is dropped iff BOTH snapped axes
+    equal the previous vertex's (same-cell run collapse, including exact
+    duplicates); survivors renumber densely; floor-snap is exercised on
+    negative coordinates (floor(-1/snap) = -1, not 0 — truncation would
+    wrongly merge cells straddling zero)."""
+    import numpy as np
+    from temp_c__bpf_osm_reader_spark.operators import decode
+    from temp_c__bpf_osm_reader_spark.sources.blocks import zigzag_encode
+
+    snap = 1000
+    # one way, nod_ids 10..15; coords (lat_e7, lon_e7) per nod_id:
+    #   10: (0, 0)       keep (first)
+    #   11: (500, 900)   drop (same cell 0,0)
+    #   12: (500, 900)   drop (exact duplicate)
+    #   13: (-1, 900)    keep (lat cell floor(-1/1000) = -1 != 0)
+    #   14: (-999, 1999) keep (lon cell 1 != 0; lat cell still -1)
+    #   15: (2500, 1999) keep (lat cell 2)
+    coords = {10: (0, 0), 11: (500, 900), 12: (500, 900),
+              13: (-1, 900), 14: (-999, 1999), 15: (2500, 1999)}
+    refs = np.array([10, 11, 12, 13, 14, 15], dtype=np.int64)
+    way_blocks = spark.createDataFrame(
+        [(0, [7], [zigzag_encode(np.diff(refs, prepend=np.int64(0))).tolist()])],
+        "block_id long, way_id array<long>, refs_dz array<array<long>>",
+    )
+    nod_ids = np.array(sorted(coords), dtype=np.int64)
+    lats = np.array([coords[i][0] for i in nod_ids], dtype=np.int64)
+    lons = np.array([coords[i][1] for i in nod_ids], dtype=np.int64)
+    blocks = spark.createDataFrame(
+        [(
+            0,
+            np.diff(nod_ids, prepend=np.int64(0)).tolist(),
+            zigzag_encode(np.diff(lats, prepend=np.int64(0))).tolist(),
+            zigzag_encode(np.diff(lons, prepend=np.int64(0))).tolist(),
+        )],
+        "block_id long, id_delta array<long>, lat_dz array<long>, lon_dz array<long>",
+    )
+    got = [
+        (r.seq, r.nod_id, r.lat_e7, r.lon_e7)
+        for r in decode.way_simplify(way_blocks, blocks, snap_e7=snap)
+        .orderBy("seq")
+        .collect()
+    ]
+    assert got == [
+        (0, 10, 0, 0),
+        (1, 13, -1, 900),
+        (2, 14, -999, 1999),
+        (3, 15, 2500, 1999),
+    ]
