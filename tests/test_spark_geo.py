@@ -466,3 +466,68 @@ def test_way_simplify_collapse_semantics(spark):
         (2, 14, -999, 1999),
         (3, 15, 2500, 1999),
     ]
+
+
+def test_polygonize_matches_union_find_on_random_rasters(spark):
+    """Seeded random rasters at several densities (sub-, near-, and
+    super-percolation) — distributed label propagation must equal a
+    sequential union-find on every one, including the dense case where one
+    giant component spans the wrap seam."""
+    import numpy as np
+    from temp_c__bpf_osm_reader_spark.functions import geo
+    from temp_c__bpf_osm_reader_spark.operators import raster
+
+    res = 3  # ny=8, nx=16
+    ny, nx = geo.grid_dims(res)
+
+    for seed, density in ((1, 0.15), (2, 0.45), (3, 0.75)):
+        rng = np.random.RandomState(seed)
+        occ = rng.rand(ny, nx) < density
+        ii, jj = np.nonzero(occ)
+        if ii.size == 0:
+            continue
+        # 1-3 images per occupied pixel, deterministic
+        counts = 1 + ((ii * 31 + jj * 7) % 3)
+        pts = []
+        for i, j, c in zip(ii, jj, counts):
+            pts += [int((res << geo.RES_SHIFT) | (int(i) << geo.I_SHIFT) | int(j))] * int(c)
+        df = spark.createDataFrame([(p,) for p in pts], "cell_r long")
+        got = {
+            r.region_id: (r.n_cells, r.n_images, r.min_i, r.max_i, r.min_j, r.max_j)
+            for r in raster.polygonize(df, "cell_r", res=res).collect()
+        }
+
+        # sequential union-find twin (same spec: 4-conn, j wraps, i clamps)
+        keys = [(int(i) << 27) | int(j) for i, j in zip(ii, jj)]
+        kset = set(keys)
+        parent = {k: k for k in keys}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j in zip(ii, jj):
+            k = (int(i) << 27) | int(j)
+            r_ = (int(i) << 27) | ((int(j) + 1) % nx)
+            if r_ in kset and r_ != k:
+                a, b = find(k), find(r_)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+            if i + 1 < ny:
+                d = ((int(i) + 1) << 27) | int(j)
+                if d in kset:
+                    a, b = find(k), find(d)
+                    if a != b:
+                        parent[max(a, b)] = min(a, b)
+        want: dict[int, list] = {}
+        for i, j, c in zip(ii, jj, counts):
+            k = (int(i) << 27) | int(j)
+            lab = find(k)
+            agg = want.setdefault(lab, [0, 0, ny, -1, nx, -1])
+            agg[0] += 1
+            agg[1] += int(c)
+            agg[2], agg[3] = min(agg[2], int(i)), max(agg[3], int(i))
+            agg[4], agg[5] = min(agg[4], int(j)), max(agg[5], int(j))
+        assert got == {k: tuple(v) for k, v in want.items()}, f"seed {seed}"
