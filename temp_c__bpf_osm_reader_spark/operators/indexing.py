@@ -545,3 +545,45 @@ def bounds_bucket_col(cell: Column, image_id: Column, bounds) -> Column:
             1,
         ).otherwise(0)
     return b
+
+
+def cell_compact(points: DataFrame, level: int = 12, min_level: int = 10) -> DataFrame:
+    """→ (cell, level) — hierarchical compaction of the occupied z-cell set
+    (the H3 `compact` / S2 covering-normalization analogue): any 4 sibling
+    cells that are ALL occupied are replaced by their parent, applied
+    bottom-up from `level` to `min_level`.
+
+    The Morton layout (z_cell_col: level·2^48 + interleaved bits) makes the
+    hierarchy pure bit arithmetic — a child's parent is
+    `((cell - lv·2^48) >> 2) + (lv-1)·2^48` and every parent has exactly 4
+    children — so the whole operator is groupBy on JVM bigint keys.
+
+    Plan: one distinct on the cell domain, then per level ONE map-side-
+    combinable groupBy(parent) that both decides completeness (count = 4)
+    and carries the ≤4 children for re-emission — no join, no second
+    shuffle. All shuffles are on the cell domain (≪ points, bounded by
+    4^level), so the operator scales with occupied area, not input rows.
+    Output is an order-independent set; `level` marks the granularity kept.
+    """
+    cur = points.select(F.col(f"zcell_l{level}").alias("cell")).distinct()
+    pieces = []
+    for lv in range(level, min_level, -1):
+        g = (
+            cur.withColumn(
+                "pcell",
+                F.shiftright(F.col("cell") - F.lit(lv << 48), 2) + F.lit((lv - 1) << 48),
+            )
+            .groupBy("pcell")
+            .agg(F.count(F.lit(1)).alias("c"), F.collect_list("cell").alias("children"))
+        )
+        pieces.append(
+            g.where(F.col("c") < 4)
+            .select(F.explode("children").alias("cell"))
+            .withColumn("level", F.lit(lv))
+        )
+        cur = g.where(F.col("c") == 4).select(F.col("pcell").alias("cell"))
+    pieces.append(cur.withColumn("level", F.lit(min_level)))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

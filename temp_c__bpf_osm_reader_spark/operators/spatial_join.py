@@ -326,3 +326,58 @@ def box_self_join(points: DataFrame, cell_col: str, eps_deg: float, res: int) ->
         .where(F.least(dlon, F.lit(360.0) - dlon) <= F.lit(eps_deg))
         .select("img1", "img2")
     )
+
+
+def polygon_stats(polys: DataFrame) -> DataFrame:
+    """→ (polygon_id, kind, n_vertices, area2_e14, perim_l1_e7,
+    vsum_lat_e7, vsum_lon_e7) — per-polygon shoelace geometry over the
+    ring arrays, entirely in exact fixed-point BIGINTs.
+
+    The polygon layer is the engine's nod_way analogue (pbf2sqlite.c:422-428
+    stores ways as ordered closed vertex sequences and leaves geometry to
+    consumers); this is the consumer-side derivation, kept in Spark. Spec:
+
+      * vertices snap to e7 ints via floor(deg * 1e7) — floor of the same
+        IEEE double in both engines, so the contract is exact (no float
+        summation-order hazard anywhere downstream);
+      * area2_e14 is TWICE the signed shoelace area in (e7)^2 units,
+        computed on ring-local coordinates (translated by vertex 0 — the
+        shoelace sum is translation-invariant) so every cross term is
+        bounded by (3e8)^2 and the <=13-term sum stays far inside int64;
+      * perim_l1_e7 is the exact L1 ring length (generator clamps rings
+        away from the antimeridian, FIXTURES.md §2, so no wrap branch);
+      * vsum_* are the open-ring vertex coordinate sums (centroid
+        numerators) — emitted as sums, not means, to stay integer-exact.
+
+    Plan: one narrow projection, zero shuffles — `transform` + `aggregate`
+    higher-order functions run inside whole-stage codegen per row, so the
+    operator scales linearly with the polygon table and parallelizes per
+    file split.
+    """
+    d = polys.select(
+        "polygon_id",
+        "kind",
+        F.expr("transform(ring_lat, x -> CAST(floor(x * 1e7) AS BIGINT))").alias("la"),
+        F.expr("transform(ring_lon, x -> CAST(floor(x * 1e7) AS BIGINT))").alias("lo"),
+    )
+    n = "(size(la) - 1)"
+    return d.select(
+        "polygon_id",
+        "kind",
+        F.expr(f"CAST({n} AS BIGINT)").alias("n_vertices"),
+        F.expr(
+            f"""aggregate(sequence(0, {n} - 1), CAST(0 AS BIGINT),
+                (acc, i) -> acc + (lo[i] - lo[0]) * (la[i + 1] - la[0])
+                                - (lo[i + 1] - lo[0]) * (la[i] - la[0]))"""
+        ).alias("area2_e14"),
+        F.expr(
+            f"""aggregate(sequence(0, {n} - 1), CAST(0 AS BIGINT),
+                (acc, i) -> acc + abs(la[i + 1] - la[i]) + abs(lo[i + 1] - lo[i]))"""
+        ).alias("perim_l1_e7"),
+        F.expr(f"aggregate(slice(la, 1, {n}), CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias(
+            "vsum_lat_e7"
+        ),
+        F.expr(f"aggregate(slice(lo, 1, {n}), CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias(
+            "vsum_lon_e7"
+        ),
+    )

@@ -531,3 +531,53 @@ def test_polygonize_matches_union_find_on_random_rasters(spark):
             agg[2], agg[3] = min(agg[2], int(i)), max(agg[3], int(i))
             agg[4], agg[5] = min(agg[4], int(j)), max(agg[5], int(j))
         assert got == {k: tuple(v) for k, v in want.items()}, f"seed {seed}"
+
+
+def test_cell_compact_expands_back_to_original_cover(spark, fx):
+    """Invariant pinning the operator's whole contract: expanding every
+    compacted (cell, level) back down to level 12 must reproduce the original
+    distinct level-12 cell set EXACTLY (no cell lost, none invented, no
+    overlap between compacted entries)."""
+    pts = load_points(spark, fx)
+    out = indexing.cell_compact(pts, level=12, min_level=10).toPandas()
+    orig = set(
+        pts.select(F.col("zcell_l12").alias("c")).distinct().toPandas()["c"].tolist()
+    )
+    expanded: list[int] = []
+    for cell, lv in zip(out["cell"].tolist(), out["level"].tolist()):
+        cells = [int(cell)]
+        for cur in range(int(lv), 12):
+            cells = [
+                ((c - (cur << 48)) << 2) + ((cur + 1) << 48) + q
+                for c in cells
+                for q in range(4)
+            ]
+        expanded.extend(cells)
+    assert len(expanded) == len(set(expanded))  # disjoint cover
+    assert set(expanded) == orig
+    # compaction must actually fire at this density
+    assert (out["level"] < 12).any()
+
+
+def test_polygon_stats_matches_numpy_shoelace(spark, fx, polygons_pdf):
+    got = (
+        spatial_join.polygon_stats(spark.read.parquet(fx["polygons"]))
+        .toPandas()
+        .set_index("polygon_id")
+        .sort_index()
+    )
+    for pid, row in polygons_pdf.set_index("polygon_id").iterrows():
+        la = np.floor(np.asarray(row["ring_lat"]) * 1e7).astype(np.int64)
+        lo = np.floor(np.asarray(row["ring_lon"]) * 1e7).astype(np.int64)
+        n = len(la) - 1  # closed ring
+        la0, lo0 = la - la[0], lo - lo[0]
+        area2 = int(
+            np.sum(lo0[:n] * la0[1 : n + 1]) - np.sum(lo0[1 : n + 1] * la0[:n])
+        )
+        perim = int(np.sum(np.abs(np.diff(la))) + np.sum(np.abs(np.diff(lo))))
+        g = got.loc[pid]
+        assert int(g["n_vertices"]) == n
+        assert int(g["area2_e14"]) == area2
+        assert int(g["perim_l1_e7"]) == perim
+        assert int(g["vsum_lat_e7"]) == int(la[:n].sum())
+        assert int(g["vsum_lon_e7"]) == int(lo[:n].sum())
