@@ -333,7 +333,10 @@ def main() -> None:
         "cores": cores,
         "n_images": n_images,
         "spatial_images_per_sec": round(n_images / max(spatial_wall, 1e-9), 1),
-        "full_record": "BENCH_full.json",
+        # BENCH_full.json is reserved for the canonical sf0.1 record that
+        # BASELINE.md cites (a smoke run at another sf once clobbered the
+        # recorded quiet-gated scaling block); other scales get their own file
+        "full_record": "BENCH_full.json" if sf == 0.1 else f"BENCH_full_sf{sf}.json",
     }
     full = dict(result)
     full["queries_runs"] = runs_log
@@ -454,7 +457,7 @@ def main() -> None:
         # so a contended-then-retried session is fully auditable
         full["scaling_blocks"] = blocks
 
-    with open(os.path.join(REPO, "BENCH_full.json"), "w") as fh:
+    with open(os.path.join(REPO, result["full_record"]), "w") as fh:
         json.dump(full, fh, indent=1)
     print(json.dumps(result))
 
