@@ -259,3 +259,94 @@ def polygonize(
             F.max("col_j").alias("max_j"),
         )
     )
+
+
+def global_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
+    """Global spatial autocorrelation (Moran's I, binary rook weights) of the
+    rasterized point density — the hotspot-analysis statistic (PostGIS/
+    PySAL `esda.Moran` class) answering "are dense pixels next to dense
+    pixels more than chance predicts?".
+
+    Adjacency is the raster's rook topology with the engine's cylinder
+    convention (col_j wraps mod nx, row_i clamps at the poles — same as
+    focal_sum); each undirected occupied-pixel pair is counted ONCE by
+    probing only East and South.
+
+    Everything that must hash identically across engines/parallelism is an
+    exact BIGINT: the six Moran components
+      n_cells, s_total = Σc, sum_c2 = Σc², n_pairs = P,
+      sum_pair_prod = Σ_pairs c_i·c_j, sum_pair_sum = Σ_pairs (c_i+c_j)
+    (int64-safe while P·c_max² < 2^63 — holds past 10^11 points on the
+    res-8 grid; beyond that, promote the two pair sums to decimal(38,0)).
+    moran_i is then ONE double expression over those exact integers,
+      I = n·(n²·Σpp − n·S·Σps + S²·P) / (P·(n²·Σc² − n·S²))
+    (the ×n² scaling clears the rational mean μ = S/n), written with the
+    identical parse tree in the DuckDB oracle so the float result is
+    bit-identical; NULL when P = 0 or the variance term is 0.
+
+    Plan (the focal_sum lesson — a join back to the raster would re-run the
+    full-table rasterization for the probe side): rasterize (the only
+    full-table pass, map-side combinable) → explode each pixel to
+    {center, East-probe, South-probe} → ONE raster-bounded groupBy on the
+    target pixel folds the pair join into an aggregate (center_n ·
+    src_sum = Σ products, src_cnt = pairs at that center) → global agg to
+    a single row.  Cost beyond the rasterization is bounded by the GRID at
+    any input size.
+    """
+    ny, nx = 1 << res, 1 << (res + 1)
+    base = density(points, cell_col)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di, dj in ((0, 0), (0, 1), (1, 0))
+        ]
+    )
+    per_pixel = (
+        base.select("row_i", "col_j", "n_images", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("row_i") + F.col("o.di")).alias("ci"),
+            F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx)).alias("cj"),
+            "n_images",
+            ((F.col("o.di") == 0) & (F.col("o.dj") == 0)).alias("is_center"),
+        )
+        .where((F.col("ci") >= 0) & (F.col("ci") < ny))
+        .groupBy("ci", "cj")
+        .agg(
+            F.max(F.when(F.col("is_center"), F.col("n_images"))).alias("center_n"),
+            F.sum(F.when(~F.col("is_center"), F.col("n_images"))).alias("src_sum"),
+            F.count(F.when(~F.col("is_center"), F.lit(1))).alias("src_cnt"),
+        )
+        .where(F.col("center_n").isNotNull())
+    )
+    comp = per_pixel.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("center_n").alias("s_total"),
+        F.sum(F.col("center_n") * F.col("center_n")).alias("sum_c2"),
+        F.sum("src_cnt").alias("n_pairs"),
+        F.coalesce(F.sum(F.col("center_n") * F.col("src_sum")), F.lit(0)).alias(
+            "sum_pair_prod"
+        ),
+        F.coalesce(
+            F.sum(F.col("center_n") * F.col("src_cnt") + F.coalesce("src_sum", F.lit(0))),
+            F.lit(0),
+        ).alias("sum_pair_sum"),
+    )
+    moran = """
+        CASE WHEN n_pairs = 0 THEN NULL
+             WHEN (CAST(n_pairs AS DOUBLE) * ((CAST(n_cells AS DOUBLE)
+                   * CAST(n_cells AS DOUBLE) * CAST(sum_c2 AS DOUBLE))
+                 - (CAST(n_cells AS DOUBLE) * CAST(s_total AS DOUBLE)
+                   * CAST(s_total AS DOUBLE)))) = 0.0 THEN NULL
+             ELSE (CAST(n_cells AS DOUBLE) * ((CAST(n_cells AS DOUBLE)
+                   * CAST(n_cells AS DOUBLE) * CAST(sum_pair_prod AS DOUBLE))
+                 - (CAST(n_cells AS DOUBLE) * CAST(s_total AS DOUBLE)
+                   * CAST(sum_pair_sum AS DOUBLE))
+                 + (CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE)
+                   * CAST(n_pairs AS DOUBLE))))
+                / (CAST(n_pairs AS DOUBLE) * ((CAST(n_cells AS DOUBLE)
+                   * CAST(n_cells AS DOUBLE) * CAST(sum_c2 AS DOUBLE))
+                 - (CAST(n_cells AS DOUBLE) * CAST(s_total AS DOUBLE)
+                   * CAST(s_total AS DOUBLE))))
+        END
+    """
+    return comp.withColumn("moran_i", F.expr(moran))

@@ -581,3 +581,72 @@ def test_polygon_stats_matches_numpy_shoelace(spark, fx, polygons_pdf):
         assert int(g["perim_l1_e7"]) == perim
         assert int(g["vsum_lat_e7"]) == int(la[:n].sum())
         assert int(g["vsum_lon_e7"]) == int(lo[:n].sum())
+
+
+def test_spatial_autocorr_matches_numpy_twin(spark, fx, golden_geo_pdf):
+    """Independent numpy derivation of every Moran component (and the same
+    fixed double expression) from the golden cell assignments."""
+    from temp_c__bpf_osm_reader_spark.operators import raster
+
+    pts = spark.read.parquet(fx["golden_geo"])
+    got = raster.global_autocorr(pts, "cell_r8", res=8).toPandas().iloc[0]
+
+    ij = golden_geo_pdf["cell_r8"].to_numpy()
+    ii, jj = (ij >> 27) & ((1 << 27) - 1), ij & ((1 << 27) - 1)
+    from collections import Counter
+
+    c = Counter(zip(ii.tolist(), jj.tolist()))
+    n = len(c)
+    S = sum(c.values())
+    sum_c2 = sum(v * v for v in c.values())
+    P = spp = sps = 0
+    for (i, j), v in c.items():
+        for ni, nj in ((i, (j + 1) % 512), (i + 1, j)):
+            if ni < 256 and (ni, nj) in c:
+                w = c[(ni, nj)]
+                P += 1
+                spp += v * w
+                sps += v + w
+    assert (
+        int(got["n_cells"]),
+        int(got["s_total"]),
+        int(got["sum_c2"]),
+        int(got["n_pairs"]),
+        int(got["sum_pair_prod"]),
+        int(got["sum_pair_sum"]),
+    ) == (n, S, sum_c2, P, spp, sps)
+    nd, sd, pd_ = float(n), float(S), float(P)
+    den = pd_ * ((nd * nd * float(sum_c2)) - (nd * sd * sd))
+    num = nd * ((nd * nd * float(spp)) - (nd * sd * float(sps)) + (sd * sd * pd_))
+    assert got["moran_i"] == num / den
+    # hash-scattered points must NOT show strong positive autocorrelation
+    assert abs(got["moran_i"]) < 0.2
+
+
+def test_spatial_autocorr_analytic_edges(spark):
+    """Uniform counts -> zero variance -> NULL; an isolated-cells layout
+    (no rook adjacencies) -> n_pairs 0 -> NULL."""
+    from temp_c__bpf_osm_reader_spark.functions import geo
+    from temp_c__bpf_osm_reader_spark.operators import raster
+
+    import numpy as np
+    import pandas as pd
+
+    # two adjacent cells, same count: variance 0
+    lat = np.array([50.1, 50.1])  # same row cell
+    lon = np.array([0.1, 0.9])  # adjacent col cells at res 8 (0.703deg)
+    pdf = pd.DataFrame({"cell_r8": geo.grid_cell(lat, lon, 8).astype("int64")})
+    df = spark.createDataFrame(pdf)
+    r = raster.global_autocorr(df, "cell_r8", res=8).toPandas().iloc[0]
+    assert int(r["n_pairs"]) == 1 and pd.isna(r["moran_i"])
+
+    # far-apart cells: no pairs
+    pdf2 = pd.DataFrame(
+        {
+            "cell_r8": geo.grid_cell(
+                np.array([10.0, -40.0, 60.0]), np.array([10.0, 100.0, -120.0]), 8
+            ).astype("int64")
+        }
+    )
+    r2 = raster.global_autocorr(spark.createDataFrame(pdf2), "cell_r8", res=8).toPandas().iloc[0]
+    assert int(r2["n_pairs"]) == 0 and pd.isna(r2["moran_i"])
