@@ -350,3 +350,75 @@ def global_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
         END
     """
     return comp.withColumn("moran_i", F.expr(moran))
+
+
+def local_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
+    """Local Moran's I (Anselin LISA) hotspot map over the density raster —
+    the per-pixel companion of global_autocorr: for every occupied pixel,
+    an indicator whose sign says "dense next to dense" (+) vs "dense next
+    to sparse" (−), the standard hotspot/coldspot classification layer.
+
+    Output per occupied pixel: (row_i, col_j, n_images, nbr_sum, nbr_cnt,
+    local_i) where nbr_sum/nbr_cnt are the EXACT BIGINT sum/count of the
+    rook-neighbor counts (cylinder topology: lon wraps, lat clamps — all 4
+    neighbors this time, not the E/S half, since the statistic is
+    per-center) and
+      local_i = (n·c_i − S) · (n·nbr_sum − nbr_cnt·S)
+    is the mean-cleared product (×n vs the rational mean μ = S/n), emitted
+    as ONE double expression over exact integers — int64 products would
+    overflow at extreme skew (bound n²S²), doubles are scale-safe and
+    bit-identical across engines for the identical parse tree.
+
+    Plan: rasterize (the only full-table pass) → 5-way offset explode +
+    ONE raster-bounded center-tagged groupBy (focal_sum's no-join-back
+    shape) → the global scalars (n, S) come from a second aggregate over
+    the CACHED per-pixel table (raster-bounded, ≤ 2^(2·res+1) rows — the
+    cache is what keeps the scalar pass from re-running the full-table
+    rasterization) broadcast back via a 1-row cross join.
+    """
+    ny, nx = 1 << res, 1 << (res + 1)
+    base = density(points, cell_col)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+            for di, dj in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+        ]
+    )
+    per_pixel = (
+        base.select("row_i", "col_j", "n_images", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("row_i") + F.col("o.di")).alias("ci"),
+            F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx)).alias("cj"),
+            "n_images",
+            ((F.col("o.di") == 0) & (F.col("o.dj") == 0)).alias("is_center"),
+        )
+        .where((F.col("ci") >= 0) & (F.col("ci") < ny))
+        .groupBy("ci", "cj")
+        .agg(
+            F.max(F.when(F.col("is_center"), F.col("n_images"))).alias("center_n"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_center"), F.col("n_images"))), F.lit(0)
+            ).alias("nbr_sum"),
+            F.count(F.when(~F.col("is_center"), F.lit(1))).alias("nbr_cnt"),
+        )
+        .where(F.col("center_n").isNotNull())
+    ).cache()
+    scalars = per_pixel.agg(
+        F.count(F.lit(1)).alias("g_n"), F.sum("center_n").alias("g_s")
+    )
+    return (
+        per_pixel.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("ci").alias("row_i"),
+            F.col("cj").alias("col_j"),
+            F.col("center_n").alias("n_images"),
+            "nbr_sum",
+            "nbr_cnt",
+            F.expr(
+                """((CAST(g_n AS DOUBLE) * CAST(center_n AS DOUBLE))
+                     - CAST(g_s AS DOUBLE))
+                   * ((CAST(g_n AS DOUBLE) * CAST(nbr_sum AS DOUBLE))
+                     - (CAST(nbr_cnt AS DOUBLE) * CAST(g_s AS DOUBLE)))"""
+            ).alias("local_i"),
+        )
+    )

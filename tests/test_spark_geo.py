@@ -650,3 +650,28 @@ def test_spatial_autocorr_analytic_edges(spark):
     )
     r2 = raster.global_autocorr(spark.createDataFrame(pdf2), "cell_r8", res=8).toPandas().iloc[0]
     assert int(r2["n_pairs"]) == 0 and pd.isna(r2["moran_i"])
+
+
+def test_local_autocorr_sums_to_twice_global_numerator(spark, fx):
+    """Bridging identity between the two Moran operators: with symmetric
+    rook weights, sum_i d_i * (sum_{j in N(i)} d_j) counts every unordered
+    pair twice, so  sum(local_i) == 2 * (n^2*spp - n*S*sps + S^2*P)  where
+    the right side is built from global_autocorr's EXACT integer
+    components. At golden scale every local_i double is an exactly
+    representable integer, so the equality is exact."""
+    from temp_c__bpf_osm_reader_spark.operators import raster
+
+    pts = spark.read.parquet(fx["golden_geo"])
+    loc = raster.local_autocorr(pts, "cell_r8", res=8).toPandas()
+    g = raster.global_autocorr(pts, "cell_r8", res=8).toPandas().iloc[0]
+    n, S = int(g["n_cells"]), int(g["s_total"])
+    rhs = 2 * (
+        n * n * int(g["sum_pair_prod"])
+        - n * S * int(g["sum_pair_sum"])
+        + S * S * int(g["n_pairs"])
+    )
+    lhs = sum(int(v) for v in loc["local_i"].tolist())
+    assert lhs == rhs
+    assert len(loc) == n
+    # neighbor counts respect the rook topology bound
+    assert loc["nbr_cnt"].between(0, 4).all()
