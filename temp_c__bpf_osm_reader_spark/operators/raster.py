@@ -422,3 +422,49 @@ def local_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
             ).alias("local_i"),
         )
     )
+
+
+def adaptive_grid(
+    points: DataFrame, cell_col: str, base_res: int, min_res: int, threshold: int
+) -> DataFrame:
+    """Adaptive quadtree tiling: starting from the min_res grid, every cell
+    with more than `threshold` points splits into its 4 children, recursing
+    until cells are sparse (≤ threshold) or base_res is reached — the
+    "drill until sparse" strategy a vector-tile server uses to keep tile
+    payloads bounded while sparse regions stay coarse.
+
+    Emitted cells partition the occupied space exactly: walking down from
+    each occupied min_res cell you stop at the first node with
+    n ≤ threshold, or at base_res (an overloaded leaf is emitted as-is —
+    the caller's signal that base_res itself is too coarse there).
+
+    The whole selection reduces to ONE parent join because pyramid counts
+    NEST: an ancestor's count ≥ any descendant's, so "every ancestor is
+    overloaded" ⟺ "the immediate parent is overloaded".  Emit c at res r
+    iff (r = min_res OR parent_n > T) AND (n ≤ T OR r = base_res).
+
+    Plan: pyramid() (one full-table pass + one raster-bounded shuffle) →
+    one raster-bounded self-join on the parent key → filter.  Cost beyond
+    the rasterization is bounded by the grid at any input size.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    pyr = pyramid(points, cell_col, base_res, min_res)
+    parents = pyr.select(
+        (F.col("res") + 1).alias("p_res"),
+        F.col("row_i").alias("p_i"),
+        F.col("col_j").alias("p_j"),
+        F.col("n_images").alias("parent_n"),
+    )
+    joined = pyr.join(
+        parents,
+        (pyr["res"] == parents["p_res"])
+        & (F.shiftright(pyr["row_i"], 1) == F.col("p_i"))
+        & (F.shiftright(pyr["col_j"], 1) == F.col("p_j")),
+        "left",
+    )
+    t = F.lit(threshold)
+    return joined.where(
+        ((pyr["res"] == min_res) | (F.col("parent_n") > t))
+        & ((F.col("n_images") <= t) | (pyr["res"] == base_res))
+    ).select(pyr["res"], "row_i", "col_j", "n_images")

@@ -675,3 +675,49 @@ def test_local_autocorr_sums_to_twice_global_numerator(spark, fx):
     assert len(loc) == n
     # neighbor counts respect the rook topology bound
     assert loc["nbr_cnt"].between(0, 4).all()
+
+
+def test_adaptive_grid_partitions_occupied_space(spark, fx, golden_geo_pdf):
+    """The emitted quadtree cells must tile the occupied space exactly: every
+    occupied res-8 pixel lies under EXACTLY one emitted cell (no orphan, no
+    overlap, no ancestor-of-emitted emitted), and counts are conserved."""
+    from temp_c__bpf_osm_reader_spark.operators import raster
+
+    pts = spark.read.parquet(fx["golden_geo"])
+    out = raster.adaptive_grid(pts, "cell_r8", base_res=8, min_res=5, threshold=3).toPandas()
+
+    ij = golden_geo_pdf["cell_r8"].to_numpy()
+    base = {}
+    for c in ij.tolist():
+        k = ((c >> 27) & ((1 << 27) - 1), c & ((1 << 27) - 1))
+        base[k] = base.get(k, 0) + 1
+
+    # counts conserved and multi-level output at this density
+    assert int(out["n_images"].sum()) == len(ij)
+    assert out["res"].nunique() >= 2
+
+    # map every occupied base pixel to the emitted ancestors covering it
+    emitted = {
+        (int(r), int(i), int(j)) for r, i, j in zip(out["res"], out["row_i"], out["col_j"])
+    }
+    for (bi, bj), cnt in base.items():
+        covers = [
+            (r, bi >> (8 - r), bj >> (8 - r))
+            for r in range(5, 9)
+            if (r, bi >> (8 - r), bj >> (8 - r)) in emitted
+        ]
+        assert len(covers) == 1, f"pixel {(bi, bj)} covered by {covers}"
+
+    # every emitted non-leaf-level cell is genuinely sparse; overloaded cells
+    # appear only at base_res
+    assert (out.loc[out["res"] < 8, "n_images"] <= 3).all()
+    # and every emitted cell below min_res's root had an overloaded parent:
+    # recompute parent counts from base pixels
+    for r, i, j, n in zip(out["res"], out["row_i"], out["col_j"], out["n_images"]):
+        if r > 5:
+            pn = sum(
+                c
+                for (bi, bj), c in base.items()
+                if (bi >> (8 - (r - 1)), bj >> (8 - (r - 1))) == (i >> 1, j >> 1)
+            )
+            assert pn > 3, f"emitted {(r, i, j)} under sparse parent {pn}"
