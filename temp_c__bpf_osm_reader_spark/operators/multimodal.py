@@ -261,3 +261,60 @@ def audio_window_energy(spark: SparkSession, sf_dir: str, win: int = 512) -> Dat
             )
 
     return clips.mapInPandas(gen, schema="audio_id string, win_idx int, energy long")
+
+
+_LAPLACIAN_TYPE = T.StructType(
+    [
+        T.StructField("lap_sq_sum", T.LongType()),
+        T.StructField("lap_abs_sum", T.LongType()),
+        T.StructField("n_interior", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_LAPLACIAN_TYPE)
+def laplacian_udf(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.DataFrame:
+    """Per-image 4-neighbor Laplacian energy (variance-of-Laplacian family —
+    the standard blur/quality gate a training-data pipeline runs before
+    ingesting images). Exact integers end-to-end: lap = 4p − N − S − W − E
+    over interior pixels; Σ lap² and Σ|lap| are int64-safe at any image
+    size this engine stores (|lap| ≤ 1020 ⇒ lap² ≤ ~1.04e6/px).
+
+    Whole-batch kernel: one decode_batch per Arrow batch, then per shape
+    group a single vectorized shifted-slice expression over the
+    (k, H, W)-stacked matrix — no per-image Python loop (golden twin
+    fixtures_text.ensure_golden_laplacian is the independent per-image
+    derivation)."""
+    n = len(data)
+    sq = np.zeros(n, dtype=np.int64)
+    ab = np.zeros(n, dtype=np.int64)
+    ni = np.zeros(n, dtype=np.int64)
+    pdf = pd.DataFrame({"bytes": data, "w": w, "h": h, "fmt": fmt})
+    for W, H, idx, mat in _decode_groups(pdf):
+        m = mat.reshape(len(idx), H, W).astype(np.int64)
+        lap = (
+            4 * m[:, 1:-1, 1:-1]
+            - m[:, :-2, 1:-1]
+            - m[:, 2:, 1:-1]
+            - m[:, 1:-1, :-2]
+            - m[:, 1:-1, 2:]
+        )
+        sq[idx] = (lap * lap).sum(axis=(1, 2))
+        ab[idx] = np.abs(lap).sum(axis=(1, 2))
+        ni[idx] = (H - 2) * (W - 2)
+    return pd.DataFrame({"lap_sq_sum": sq, "lap_abs_sum": ab, "n_interior": ni})
+
+
+def laplacian_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (image_id, lap_sq_sum, lap_abs_sum, n_interior): see laplacian_udf."""
+    n = fixtures.n_images_for_sf(sf_dir)
+    images = spark.read.parquet(fixtures.ensure_images(n)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+    s = laplacian_udf("bytes", "w", "h", "fmt")
+    return images.select(
+        "image_id",
+        s["lap_sq_sum"].alias("lap_sq_sum"),
+        s["lap_abs_sum"].alias("lap_abs_sum"),
+        s["n_interior"].alias("n_interior"),
+    )

@@ -616,3 +616,43 @@ def ensure_golden_recall_ivf(
         out = pd.DataFrame(rows, columns=["query_id", "recall"])
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
     return p
+
+
+def ensure_golden_laplacian(n: int) -> str:
+    """(image_id, lap_sq_sum, lap_abs_sum, n_interior) — per-image 4-neighbor
+    Laplacian energy twin of operators/multimodal.laplacian_stats. Exact
+    integer spec: lap(r,c) = 4*p(r,c) - p(r-1,c) - p(r+1,c) - p(r,c-1)
+    - p(r,c+1) over INTERIOR pixels only (no padding convention to disagree
+    on); emitted sums are Σ lap² and Σ |lap|. Derivation here is per-image
+    numpy shifted slices, independent of the operator's per-shape
+    whole-batch layout."""
+    import numpy as np
+
+    p = os.path.join(fixtures.DATA_DIR, f"golden_laplacian_{n}.parquet")
+    if not os.path.exists(p):
+        images = pd.read_parquet(fixtures.ensure_images(n))
+        rows = []
+        for _, r in images.iterrows():
+            px = np.array(_decode_px(r["bytes"], r["fmt"]), dtype=np.int64)
+            w, h = int(r["w"]), int(r["h"])
+            m = px.reshape(h, w)
+            lap = (
+                4 * m[1:-1, 1:-1]
+                - m[:-2, 1:-1]
+                - m[2:, 1:-1]
+                - m[1:-1, :-2]
+                - m[1:-1, 2:]
+            )
+            rows.append(
+                (
+                    r["image_id"],
+                    int((lap * lap).sum()),
+                    int(np.abs(lap).sum()),
+                    (h - 2) * (w - 2),
+                )
+            )
+        out = pd.DataFrame(
+            rows, columns=["image_id", "lap_sq_sum", "lap_abs_sum", "n_interior"]
+        ).astype({"lap_sq_sum": "int64", "lap_abs_sum": "int64", "n_interior": "int64"})
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), p)
+    return p

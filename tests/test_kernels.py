@@ -279,3 +279,41 @@ def test_nd_bits_scaling_law():
     from temp_c__bpf_osm_reader_spark.functions.hashing import splitmix64, u01
 
     assert np.array_equal(p8, (u01(splitmix64(idx)) * 2.0 - 1.0).reshape(128, S.SRP_DIM))
+
+
+def test_laplacian_spike_closed_form(spark_none=None):
+    """Hand example for the blur-metric spec: constant image -> all-zero
+    Laplacian; one interior spike of +v on a constant background produces
+    lap² sum (4v)² + 4·v² and |lap| sum 4v + 4v (the center 4v plus four
+    neighbors each -v)."""
+    from temp_c__bpf_osm_reader_spark.sources import fixtures_text
+
+    # reuse the golden twin's exact derivation on synthetic pixel grids
+    def twin(m):
+        m = m.astype(np.int64)
+        lap = (
+            4 * m[1:-1, 1:-1] - m[:-2, 1:-1] - m[2:, 1:-1] - m[1:-1, :-2] - m[1:-1, 2:]
+        )
+        return int((lap * lap).sum()), int(np.abs(lap).sum())
+
+    const = np.full((8, 8), 37, dtype=np.uint8)
+    assert twin(const) == (0, 0)
+    v = 50
+    spike = np.full((8, 8), 10, dtype=np.uint8)
+    spike[4, 4] += v
+    sq, ab = twin(spike)
+    assert sq == (4 * v) ** 2 + 4 * v * v
+    assert ab == 4 * v + 4 * v
+    # and the shipped golden generator agrees with this local twin on a
+    # real fixture image (cross-checks _decode_px + the slicing spec)
+    import pandas as pd
+
+    from temp_c__bpf_osm_reader_spark.sources import fixtures
+
+    gp = fixtures_text.ensure_golden_laplacian(1060)
+    g = pd.read_parquet(gp).set_index("image_id")
+    im = pd.read_parquet(fixtures.ensure_images(1060)).iloc[0]
+    px = np.array(fixtures_text._decode_px(im["bytes"], im["fmt"]), dtype=np.uint8)
+    want = twin(px.reshape(int(im["h"]), int(im["w"])))
+    got = g.loc[im["image_id"]]
+    assert (int(got["lap_sq_sum"]), int(got["lap_abs_sum"])) == want
