@@ -564,8 +564,16 @@ def cell_compact(points: DataFrame, level: int = 12, min_level: int = 10) -> Dat
     shuffle. All shuffles are on the cell domain (≪ points, bounded by
     4^level), so the operator scales with occupied area, not input rows.
     Output is an order-independent set; `level` marks the granularity kept.
+
+    The distinct cell set and each level's groupBy are CACHED: every level
+    references its `g` twice (keep-branch + parent carry-forward) and the
+    final union references every level, so without the cache Spark plans
+    independent subtrees and the FULL-TABLE distinct re-runs once per
+    branch (measured: 6 parquet scans, 0 ReusedExchange at 2 levels). All
+    cached intermediates live on the cell domain — grid-bounded at any
+    input size.
     """
-    cur = points.select(F.col(f"zcell_l{level}").alias("cell")).distinct()
+    cur = points.select(F.col(f"zcell_l{level}").alias("cell")).distinct().cache()
     pieces = []
     for lv in range(level, min_level, -1):
         g = (
@@ -575,7 +583,7 @@ def cell_compact(points: DataFrame, level: int = 12, min_level: int = 10) -> Dat
             )
             .groupBy("pcell")
             .agg(F.count(F.lit(1)).alias("c"), F.collect_list("cell").alias("children"))
-        )
+        ).cache()
         pieces.append(
             g.where(F.col("c") < 4)
             .select(F.explode("children").alias("cell"))
