@@ -162,3 +162,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, n: int = 5, bench_mod: int = 97
+) -> DataFrame:
+    """Benchmark decontamination — the training-corpus hygiene step every
+    LLM data pipeline runs before training: flag corpus documents that
+    share any word n-gram with a held-out benchmark set, so eval data
+    can't leak into the training set.
+
+    The benchmark here is the deterministic slice doc_id % bench_mod == 0
+    (standing in for an external eval set); a corpus doc is contaminated
+    when any of its distinct n-grams appears in any benchmark doc.  Output
+    (doc_id, n_hits, witness_gram): number of distinct leaked n-grams and
+    the lexicographically-first one as the auditable witness.
+
+    Plan: the benchmark side is a tiny fixed fraction of the corpus, so
+    its distinct-gram set BROADCASTS (no shuffle of the corpus grams at
+    any corpus size — the join is map-side); per-doc gram explode is the
+    same JVM transform/slice expression as ngram_jaccard_pairs, and only
+    doc_id + matched grams reach the one aggregation shuffle.  At 100 TB
+    the broadcast bound is the benchmark's gram count, not the corpus.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    gram_expr = (
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(gram_expr))).alias("gram")
+    )
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_grams = grams.where(is_bench).select("gram").distinct()
+    return (
+        grams.where(~is_bench)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("gram").alias("witness_gram"),
+        )
+    )

@@ -246,3 +246,16 @@ def test_osmxml_on_default_conf_session(spark):
         assert spark.conf.get(key) == "true"  # register() turned it on
     finally:
         spark.conf.set(key, original)
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The corpus-gram side must never shuffle: the benchmark gram set is
+    the broadcast build side (100-TB bound = benchmark grams, not corpus)."""
+    from temp_c__bpf_osm_reader_spark.operators import text
+
+    df = text.decontaminate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
