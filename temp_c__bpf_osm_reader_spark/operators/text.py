@@ -204,3 +204,46 @@ def decontaminate(
             F.min("gram").alias("witness_gram"),
         )
     )
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """Repetition quality signal (the Gopher-rules "fraction of characters
+    in the most common n-gram" family): per document, the total n-gram
+    count and the single most frequent n-gram with its multiplicity —
+    heavy repetition (top_gram_n / n_grams high) marks boilerplate and
+    degenerate generations a training pipeline filters out.
+
+    Determinism: the top gram ties break by (count DESC, gram DESC) via
+    one window row_number — identical ordering semantics in the DuckDB
+    oracle, so the winner is engine-independent. Exact integers only.
+
+    Plan: non-distinct gram explode (same JVM transform/slice expression
+    as the dedup family) → map-side-combinable groupBy (doc_id, gram) →
+    per-doc window on the gram-count table (state bounded by distinct
+    grams per doc, ≤ tokens). Two doc-keyed shuffles, text never shuffles
+    beyond its own grams.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    gram_expr = (
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+    )
+    counts = (
+        d.select("doc_id", F.explode(F.expr(gram_expr)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("gram"))
+    return (
+        counts.withColumn("total", F.sum("cnt").over(Window.partitionBy("doc_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("total").alias("n_grams"),
+            F.col("cnt").alias("top_gram_n"),
+            F.col("gram").alias("top_gram"),
+        )
+    )
