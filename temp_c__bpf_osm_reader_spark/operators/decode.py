@@ -151,6 +151,50 @@ def decode_way_refs(way_blocks: DataFrame) -> DataFrame:
     )
 
 
+def decode_rel_members(rel_blocks: DataFrame) -> DataFrame:
+    """relation blocks → (rel_of, order_, nod_id, way_id, rel_id, rol) — the
+    relation-member delta decode + typed dispatch, D5's third and last wire
+    stream merged with D11 (readosm.c:1575-1582: memids are sint64 deltas
+    against the previous member WITHIN the same relation; pbf2sqlite.c:811-857
+    dispatches each decoded id into exactly one of nod_id/way_id/rel_id by the
+    member-type enum and resolves rol through the block string table).
+
+    Plan: explode the per-relation parallel arrays (memids_dz ∥ types ∥
+    roles_sid — D9's zip), cumsum the zigzag deltas over a window partitioned
+    by relation (state bounded by members-per-relation, reference convention
+    ≤ 8000/entity-block), resolve roles via element_at against the block's
+    strtab riding the row (no join), then a three-way CASE dispatch into
+    sparse typed columns. The only shuffle is the relation-keyed window —
+    embarrassingly parallel at any table size.
+    """
+    rels = rel_blocks.select(
+        "strtab",
+        F.explode(F.arrays_zip("rel_id", "memids_dz", "types", "roles_sid")).alias("r"),
+    ).select(
+        F.col("r.rel_id").alias("rel_of"),
+        "strtab",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("r.memids_dz").alias("dz"),
+                F.col("r.types").alias("typ"),
+                F.col("r.roles_sid").alias("sid"),
+            )
+        ).alias("order_", "m"),
+    )
+    w = Window.partitionBy("rel_of").orderBy("order_").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    memid = F.sum(zigzag_decode_col(F.col("m.dz"))).over(w)
+    return rels.select(
+        "rel_of",
+        F.col("order_").cast("int").alias("order_"),
+        F.when(F.col("m.typ") == 0, memid).alias("nod_id"),
+        F.when(F.col("m.typ") == 1, memid).alias("way_id"),
+        F.when(F.col("m.typ") == 2, memid).alias("rel_id"),
+        F.element_at(F.col("strtab"), F.col("m.sid").cast("int") + 1).alias("rol"),
+    )
+
+
 def way_simplify(
     way_blocks: DataFrame, blocks: DataFrame, snap_e7: int = 1 << 14
 ) -> DataFrame:

@@ -574,6 +574,7 @@ def cell_compact(points: DataFrame, level: int = 12, min_level: int = 10) -> Dat
     input size.
     """
     cur = points.select(F.col(f"zcell_l{level}").alias("cell")).distinct().cache()
+    cached = [cur]
     pieces = []
     for lv in range(level, min_level, -1):
         g = (
@@ -584,6 +585,7 @@ def cell_compact(points: DataFrame, level: int = 12, min_level: int = 10) -> Dat
             .groupBy("pcell")
             .agg(F.count(F.lit(1)).alias("c"), F.collect_list("cell").alias("children"))
         ).cache()
+        cached.append(g)
         pieces.append(
             g.where(F.col("c") < 4)
             .select(F.explode("children").alias("cell"))
@@ -594,4 +596,11 @@ def cell_compact(points: DataFrame, level: int = 12, min_level: int = 10) -> Dat
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    # the result is grid-bounded (≤ occupied cells), so cutting the lineage
+    # eagerly is cheap — and lets every per-level cache be RELEASED here
+    # instead of accumulating pinned executor storage across a long
+    # multi-query session (knn_join_global's established pattern)
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     return out

@@ -291,18 +291,83 @@ def laplacian_udf(data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -
     ni = np.zeros(n, dtype=np.int64)
     pdf = pd.DataFrame({"bytes": data, "w": w, "h": h, "fmt": fmt})
     for W, H, idx, mat in _decode_groups(pdf):
-        m = mat.reshape(len(idx), H, W).astype(np.int64)
-        lap = (
-            4 * m[:, 1:-1, 1:-1]
-            - m[:, :-2, 1:-1]
-            - m[:, 2:, 1:-1]
-            - m[:, 1:-1, :-2]
-            - m[:, 1:-1, 2:]
-        )
-        sq[idx] = (lap * lap).sum(axis=(1, 2))
-        ab[idx] = np.abs(lap).sum(axis=(1, 2))
-        ni[idx] = (H - 2) * (W - 2)
+        # narrow arithmetic, exact: |lap| ≤ 4·255 fits int16, lap² ≤ ~1.04e6
+        # fits int32, and the reductions widen to int64 — same integers as
+        # the old int64 pipeline but ~4x less memory traffic (the int64
+        # temporaries made this kernel 7x the cost of the plain decode at
+        # sf1.0: 374 s vs 50 s — allocation/page-fault bound, not ALU bound)
+        m = mat.reshape(len(idx), H, W).astype(np.int16)
+        lap = 4 * m[:, 1:-1, 1:-1]
+        lap -= m[:, :-2, 1:-1]
+        lap -= m[:, 2:, 1:-1]
+        lap -= m[:, 1:-1, :-2]
+        lap -= m[:, 1:-1, 2:]
+        sq[idx] = np.multiply(lap, lap, dtype=np.int32).sum(axis=(1, 2), dtype=np.int64)
+        ab[idx] = np.abs(lap).sum(axis=(1, 2), dtype=np.int64)
+        # degenerate 1-pixel-thin images have no interior: clamp, never
+        # negative (H==1 or W==1 would otherwise yield (H-2)*(W-2) < 0)
+        ni[idx] = max(H - 2, 0) * max(W - 2, 0)
     return pd.DataFrame({"lap_sq_sum": sq, "lap_abs_sum": ab, "n_interior": ni})
+
+
+_IMAGE_METRICS_SCHEMA = (
+    "image_id string, fmt string, pix_sum long, phash_dec long, "
+    "lap_sq_sum long, lap_abs_sum long, n_interior long"
+)
+
+
+def image_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """→ (image_id, fmt, pix_sum, phash_dec, lap_sq_sum, lap_abs_sum,
+    n_interior) — the DECODE-ONCE fan-out for the whole image-metric family
+    (r4 verdict #4): one mapInPandas pass decodes each payload exactly once
+    and emits every per-image metric that decode_integrity and blur_metric
+    would otherwise each re-decode for.  At 100-TB scale the decode is the
+    dominant cost of this family (the reference measures blob decompression
+    at ~33% of read time, readosm.c:1783-1790), so a pipeline computing k
+    metrics must pay it once, not k times.
+
+    Exactness: identical integers to decode_integrity + blur_metric — the
+    oracle joins their two goldens."""
+    n = fixtures.n_images_for_sf(sf_dir)
+    images = spark.read.parquet(fixtures.ensure_images(n)).select(
+        "image_id", "bytes", "w", "h", "fmt"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            k = len(pdf)
+            pix = np.empty(k, dtype=np.int64)
+            ph = np.empty(k, dtype=np.int64)
+            sq = np.zeros(k, dtype=np.int64)
+            ab = np.zeros(k, dtype=np.int64)
+            ni = np.zeros(k, dtype=np.int64)
+            for W, H, idx, mat in _decode_groups(pdf):
+                pix[idx] = mat.sum(axis=1, dtype=np.int64)
+                ph[idx] = phash64_batch(mat, W, H)
+                m = mat.reshape(len(idx), H, W).astype(np.int16)
+                lap = 4 * m[:, 1:-1, 1:-1]
+                lap -= m[:, :-2, 1:-1]
+                lap -= m[:, 2:, 1:-1]
+                lap -= m[:, 1:-1, :-2]
+                lap -= m[:, 1:-1, 2:]
+                sq[idx] = np.multiply(lap, lap, dtype=np.int32).sum(
+                    axis=(1, 2), dtype=np.int64
+                )
+                ab[idx] = np.abs(lap).sum(axis=(1, 2), dtype=np.int64)
+                ni[idx] = max(H - 2, 0) * max(W - 2, 0)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].reset_index(drop=True),
+                    "fmt": pdf["fmt"].reset_index(drop=True),
+                    "pix_sum": pix,
+                    "phash_dec": ph,
+                    "lap_sq_sum": sq,
+                    "lap_abs_sum": ab,
+                    "n_interior": ni,
+                }
+            )
+
+    return images.mapInPandas(gen, schema=_IMAGE_METRICS_SCHEMA)
 
 
 def laplacian_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -301,15 +301,25 @@ def global_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
             for di, dj in ((0, 0), (0, 1), (1, 0))
         ]
     )
+    # degenerate-grid wrap guard (mirrors polygonize's nx==1 self-loop
+    # guard): with nx <= 2 the mod-nx wrap would revisit the same column
+    # from both sides (or self-loop at nx==1), double-counting the single
+    # horizontal adjacency — clamp instead of wrapping there
+    cj_expr = (
+        F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx))
+        if nx > 2
+        else (F.col("col_j") + F.col("o.dj"))
+    )
     per_pixel = (
         base.select("row_i", "col_j", "n_images", F.explode(offsets).alias("o"))
         .select(
             (F.col("row_i") + F.col("o.di")).alias("ci"),
-            F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx)).alias("cj"),
+            cj_expr.alias("cj"),
             "n_images",
             ((F.col("o.di") == 0) & (F.col("o.dj") == 0)).alias("is_center"),
         )
         .where((F.col("ci") >= 0) & (F.col("ci") < ny))
+        .where((F.col("cj") >= 0) & (F.col("cj") < nx))
         .groupBy("ci", "cj")
         .agg(
             F.max(F.when(F.col("is_center"), F.col("n_images"))).alias("center_n"),
@@ -384,15 +394,25 @@ def local_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
             for di, dj in ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
         ]
     )
+    # degenerate-grid wrap guard (mirrors polygonize's nx==1 self-loop
+    # guard): with nx <= 2 the mod-nx wrap would revisit the same column
+    # from both sides (or self-loop at nx==1), double-counting the single
+    # horizontal adjacency — clamp instead of wrapping there
+    cj_expr = (
+        F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx))
+        if nx > 2
+        else (F.col("col_j") + F.col("o.dj"))
+    )
     per_pixel = (
         base.select("row_i", "col_j", "n_images", F.explode(offsets).alias("o"))
         .select(
             (F.col("row_i") + F.col("o.di")).alias("ci"),
-            F.pmod(F.col("col_j") + F.col("o.dj"), F.lit(nx)).alias("cj"),
+            cj_expr.alias("cj"),
             "n_images",
             ((F.col("o.di") == 0) & (F.col("o.dj") == 0)).alias("is_center"),
         )
         .where((F.col("ci") >= 0) & (F.col("ci") < ny))
+        .where((F.col("cj") >= 0) & (F.col("cj") < nx))
         .groupBy("ci", "cj")
         .agg(
             F.max(F.when(F.col("is_center"), F.col("n_images"))).alias("center_n"),
@@ -406,7 +426,7 @@ def local_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
     scalars = per_pixel.agg(
         F.count(F.lit(1)).alias("g_n"), F.sum("center_n").alias("g_s")
     )
-    return (
+    out = (
         per_pixel.crossJoin(F.broadcast(scalars))
         .select(
             F.col("ci").alias("row_i"),
@@ -422,6 +442,12 @@ def local_autocorr(points: DataFrame, cell_col: str, res: int) -> DataFrame:
             ).alias("local_i"),
         )
     )
+    # raster-bounded output (≤ occupied pixels): cut lineage eagerly so the
+    # per-pixel cache can be released instead of pinning executor storage
+    # across a long multi-query session
+    out = out.localCheckpoint(eager=True)
+    per_pixel.unpersist()
+    return out
 
 
 def adaptive_grid(
@@ -469,7 +495,12 @@ def adaptive_grid(
         "left",
     )
     t = F.lit(threshold)
-    return joined.where(
+    out = joined.where(
         ((pyr["res"] == min_res) | (F.col("parent_n") > t))
         & ((F.col("n_images") <= t) | (pyr["res"] == base_res))
     ).select(pyr["res"], "row_i", "col_j", "n_images")
+    # grid-bounded output: eager checkpoint, then release the pyramid cache
+    # (otherwise it pins executor storage for the rest of the session)
+    out = out.localCheckpoint(eager=True)
+    pyr.unpersist()
+    return out

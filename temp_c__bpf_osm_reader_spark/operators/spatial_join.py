@@ -165,6 +165,8 @@ def pip_join(
     spark: SparkSession | None = None,
     refine: str = "jvm",
     rebalance_refine: bool = False,
+    cover: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """points(image_id, lat, lon, ...) ⋈ polygons → (image_id, polygon_id).
 
@@ -185,7 +187,12 @@ def pip_join(
     Output row set identical either way.
     """
     spark = spark or points.sparkSession
-    cover = polygon_cover(spark, polygons, res)
+    # cover/edges are polygon-LAYER statistics (like the tile bounds/router:
+    # on a lakehouse they derive from the layer once, amortized across every
+    # join against it) — callers running pip repeatedly prebuild them in
+    # setup and pass them in; default path builds per call
+    if cover is None:
+        cover = polygon_cover(spark, polygons, res)
 
     cell = grid_cell_col(F.col("lat"), F.col("lon"), res)
     candidates = points.select("image_id", "lat", "lon", cell.alias("cell_id")).join(
@@ -195,7 +202,8 @@ def pip_join(
         candidates = candidates.hint("rebalance")
 
     if refine == "jvm":
-        edges = _polygon_edges(spark, polygons)
+        if edges is None:
+            edges = _polygon_edges(spark, polygons)
         y, x = F.col("lat"), F.col("lon")
 
         def _crossing(e):

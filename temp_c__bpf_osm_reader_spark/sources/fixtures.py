@@ -170,6 +170,31 @@ def ensure_way_blocks(n: int) -> str:
     return p
 
 
+def rel_blocks_path(n: int) -> str:
+    return os.path.join(DATA_DIR, f"rel_blocks_{n}.parquet")
+
+
+def ensure_rel_blocks(n: int) -> str:
+    """Relation-stream blocks (memids zigzag-delta-coded within each relation,
+    typed member dispatch + role string table) — input of
+    operators/decode.decode_rel_members. Pure arithmetic on ordinals."""
+    p = rel_blocks_path(n)
+    if not os.path.exists(p):
+        df = blocks_mod.encode_rel_blocks(n)
+        schema = pa.schema(
+            [
+                ("block_id", pa.int64()),
+                ("strtab", pa.list_(pa.string())),
+                ("rel_id", pa.list_(pa.int64())),
+                ("memids_dz", pa.list_(pa.list_(pa.int64()))),
+                ("types", pa.list_(pa.list_(pa.int64()))),
+                ("roles_sid", pa.list_(pa.list_(pa.int64()))),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), p)
+    return p
+
+
 # ---------------------------------------------------------------- goldens
 
 def golden_geo_path(n: int) -> str:

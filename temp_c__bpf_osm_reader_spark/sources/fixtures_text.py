@@ -648,7 +648,9 @@ def ensure_golden_laplacian(n: int) -> str:
                     r["image_id"],
                     int((lap * lap).sum()),
                     int(np.abs(lap).sum()),
-                    (h - 2) * (w - 2),
+                    # no interior on 1-pixel-thin images — clamp, matching
+                    # the operator (never negative)
+                    max(h - 2, 0) * max(w - 2, 0),
                 )
             )
         out = pd.DataFrame(
