@@ -76,8 +76,12 @@ def _scaling_run(
         str(cores),
         "--replicate",
         str(replicate),
+        # 16 partitions (r5 probe): identical 2-core pipeline seconds as 32
+        # (65.1 vs 65.3 s), ~5-8% faster at 8 cores (fewer straggler waves:
+        # best 21.8 vs 24.7 s); 64 re-measured worse at both levels (r3's
+        # rejection stands)
         "--partitions",
-        os.environ.get("SPARK_GRAFT_SCALING_PARTITIONS", "32"),
+        os.environ.get("SPARK_GRAFT_SCALING_PARTITIONS", "16"),
         "--skip-knn",
         "--skip-decode",
     ]
